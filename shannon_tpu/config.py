@@ -1,0 +1,129 @@
+"""Assembly configuration.
+
+Mirrors the reference CLI surface (SURVEY.md §3.1 `shannon.py`: `-o` outdir,
+`-p` nprocs, `-K` k-mer size default 24, `--single` / `--left`+`--right`,
+strand-specific flag, abundance cutoffs, min transcript length) as a single
+dataclass.  The reference keeps these as argparse defaults + in-file constants
+(SURVEY.md §6 "Config/flag system"); here they are one typed object threaded
+through every stage so device code sees only static Python values (safe to
+close over under `jit`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+
+@dataclass(frozen=True)
+class AssemblyConfig:
+    # --- core k-mer parameters -------------------------------------------
+    k: int = 24
+    """k-mer size.  Reference default K=24 (SURVEY.md §3.1).  Must be <= 32
+    so a k-mer packs into a (hi, lo) uint32 pair (2 bits/base, 64 bits max);
+    TPUs have no int64 lanes so all device code is two-word (SURVEY.md §8)."""
+
+    min_abundance: int = 1
+    """Drop k-mers with count < min_abundance before graph construction
+    (the Jellyfish-table abundance filter, SURVEY.md §3.1 extension_correction)."""
+
+    strand_specific: bool = False
+    """If True, do not canonicalize k-mers (reads are from a stranded
+    protocol); if False, count canonical (min of forward / reverse
+    complement) k-mers, mirroring the reference's double-stranded default."""
+
+    # --- error correction -------------------------------------------------
+    sibling_ratio: float = 0.1
+    """Extension-correction threshold: at each branch of the dBG, an
+    alternative whose count is < sibling_ratio * (max sibling count) is
+    treated as a sequencing-error branch and pruned.  Plays the role of the
+    reference's iterative weak-extension trimming (SURVEY.md §4.2)."""
+
+    correction_rounds: int = 8
+    """Max pruning rounds (fixpoint usually reached in 2-3)."""
+
+    tip_klen: int = 0
+    """Tip clipping: a dead-end contig of <= tip_klen member k-mers whose
+    abundance is dominated (by sibling_ratio) at its attachment junction
+    is removed; an isolated contig of <= tip_klen k-mers shorter than
+    min_transcript_length is removed.  0 = auto (3*k); negative disables.
+    Removes the dangling remainder of sequencing-error paths after branch
+    pruning (the reference's dead-end trimming — SURVEY.md §3.1)."""
+
+    @property
+    def tip_klen_effective(self) -> int:
+        return 3 * self.k if self.tip_klen == 0 else self.tip_klen
+
+    # --- assembly ---------------------------------------------------------
+    min_transcript_length: int = 200
+    """Final transcripts shorter than this are dropped (reference
+    filter_trans behavior, SURVEY.md §3.1; 200bp is the standard
+    transcriptome threshold)."""
+
+    use_pairs: bool = True
+    """Use paired-end mates + insert-size constraints in multibridging."""
+
+    sf_restarts: int = 4
+    """Randomized restarts for degenerate sparse-flow ties (paper §;
+    SURVEY.md §4.3)."""
+
+    sf_min_flow_frac: float = 0.02
+    """Sparse-flow pairings carrying less than this fraction of the node's
+    total flow are discarded as noise (the paper trims near-zero flows)."""
+
+    max_paths_per_component: int = 10000
+    """Safety cap on enumerated transcripts per component (pathological
+    unresolved graphs); truncation is reported, never silent."""
+
+    seed: int = 0
+    """Seed for every randomized step (sparse-flow restarts); pinned for
+    reproducibility so parity runs are deterministic (SURVEY.md §8 hard
+    part 4)."""
+
+    # --- device/layout parameters (TPU-side only; no effect on output) ---
+    read_pad_length: int = 128
+    """Reads are padded/truncated to this many bases on device.  Static
+    shape for XLA; 128 covers standard short-read RNA-seq (76-150bp —
+    raise for longer reads)."""
+
+    kmer_capacity: int = 1 << 22
+    """Fixed capacity of the on-device k-mer spectrum table (padded,
+    sorted).  Must exceed the number of distinct k-mers in the dataset
+    shard; the pipeline validates and reports overflow."""
+
+    batch_reads: int = 1 << 16
+    """Reads per device batch for the counting kernel."""
+
+    # --- orchestration ----------------------------------------------------
+    out_dir: str = "shannon_out"
+    n_devices: int = 0
+    """0 = use all visible devices."""
+
+    resume: bool = True
+    """Skip stages whose serialized outputs already exist in out_dir
+    (the reference's files-as-checkpoints contract, SURVEY.md §6)."""
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.k <= 32):
+            raise ValueError(f"k must be in [1, 32], got {self.k}")
+        if self.min_abundance < 1:
+            raise ValueError("min_abundance must be >= 1")
+        if not (0.0 <= self.sibling_ratio < 1.0):
+            raise ValueError("sibling_ratio must be in [0, 1)")
+
+    # --- (de)serialization for stage checkpoints -------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "AssemblyConfig":
+        return cls(**json.loads(text))
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "AssemblyConfig":
+        return cls.from_json(Path(path).read_text())

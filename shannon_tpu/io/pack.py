@@ -1,0 +1,93 @@
+"""Read batching/packing: host-side container crossing to the device.
+
+The reference streams reads as text lines; the rebuild's device kernels need
+fixed-shape arrays (SURVEY.md §8 hard part 2).  A ``ReadBatch`` is a padded
+``[n, pad_length] uint8`` code matrix plus per-read lengths.  For transfer
+efficiency a 2-bit-packed ``uint32`` word view (16 bases/word) is available;
+the k-mer kernels accept either.
+
+Padding convention: positions >= length hold ``BASE_INVALID`` so any k-mer
+window touching padding is masked out by validity logic rather than shape
+logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from shannon_tpu.io.dna import BASE_INVALID, decode_seq, encode_seq
+
+
+@dataclass
+class ReadBatch:
+    codes: np.ndarray  # [n, pad_length] uint8, BASE_INVALID-padded
+    lengths: np.ndarray  # [n] int32
+    paired: bool = False  # mate of read 2i is read 2i+1
+
+    @property
+    def n_reads(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def pad_length(self) -> int:
+        return int(self.codes.shape[1])
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    def sequences(self) -> list[str]:
+        return [
+            decode_seq(self.codes[i, : self.lengths[i]]) for i in range(self.n_reads)
+        ]
+
+    def packed_words(self) -> np.ndarray:
+        """2-bit pack to [n, ceil(pad_length/16)] uint32, 16 bases/word,
+        base j of a word in bits [2j, 2j+2) (little-endian in base index).
+        Invalid bases pack as 0 — consumers must use `lengths` + the uint8
+        view for validity; the packed view is a bandwidth optimization."""
+        n, L = self.codes.shape
+        W = (L + 15) // 16
+        padded = np.zeros((n, W * 16), dtype=np.uint32)
+        np.copyto(padded[:, :L], self.codes, casting="unsafe")
+        padded[padded >= 4] = 0
+        shifts = (2 * (np.arange(W * 16, dtype=np.uint32) % 16)).reshape(1, -1)
+        words = (padded << shifts).reshape(n, W, 16).sum(axis=2, dtype=np.uint32)
+        return words
+
+    def pad_to(self, n_reads: int) -> "ReadBatch":
+        """Zero-length-pad the batch to exactly n_reads rows (static shapes
+        for jit; padded rows produce no valid k-mers)."""
+        if n_reads < self.n_reads:
+            raise ValueError(f"cannot shrink batch {self.n_reads} -> {n_reads}")
+        if n_reads == self.n_reads:
+            return self
+        codes = np.full((n_reads, self.pad_length), BASE_INVALID, dtype=np.uint8)
+        codes[: self.n_reads] = self.codes
+        lengths = np.zeros(n_reads, dtype=np.int32)
+        lengths[: self.n_reads] = self.lengths
+        return ReadBatch(codes=codes, lengths=lengths, paired=self.paired)
+
+
+def pack_reads(
+    seqs: Iterable[str] | Sequence[str],
+    pad_length: int = 128,
+    paired: bool = False,
+) -> ReadBatch:
+    """Encode + pad a list of sequences into a ReadBatch.
+
+    Reads longer than pad_length are truncated (with a warning count kept by
+    the caller if needed); shorter reads are BASE_INVALID-padded.
+    """
+    seq_list = list(seqs)
+    n = len(seq_list)
+    codes = np.full((n, pad_length), BASE_INVALID, dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(seq_list):
+        enc = encode_seq(s)[:pad_length]
+        codes[i, : len(enc)] = enc
+        lengths[i] = len(enc)
+    return ReadBatch(codes=codes, lengths=lengths, paired=paired)

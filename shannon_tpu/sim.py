@@ -1,0 +1,128 @@
+"""Synthetic transcriptome + read simulator for property tests and
+benchmarks (SURVEY.md §5.2: known isoforms -> simulated reads -> assert
+recovery; stands in for the reference's bundled sample-read dataset)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_BASES = "ACGT"
+
+
+def random_seq(rng: np.random.Generator, length: int) -> str:
+    return "".join(_BASES[i] for i in rng.integers(0, 4, size=length))
+
+
+@dataclass
+class SimData:
+    transcripts: list[str]
+    abundances: list[float]
+    reads: list[str]
+    pairs: bool = False  # reads[2i], reads[2i+1] are mates if True
+
+
+def simulate_transcripts(
+    rng: np.random.Generator,
+    n: int = 3,
+    length: int = 600,
+) -> list[str]:
+    return [random_seq(rng, length) for _ in range(n)]
+
+
+def simulate_isoforms(
+    rng: np.random.Generator,
+    n_exons: int = 4,
+    exon_length: int = 300,
+) -> list[str]:
+    """Two isoforms sharing flanking exons (the sparse-flow known-answer
+    shape: shared prefix/suffix, alternative middle exons)."""
+    exons = [random_seq(rng, exon_length) for _ in range(n_exons)]
+    iso1 = exons[0] + exons[1] + exons[3]
+    iso2 = exons[0] + exons[2] + exons[3]
+    return [iso1, iso2]
+
+
+def mutate(rng: np.random.Generator, seq: str, error_rate: float) -> str:
+    if error_rate <= 0:
+        return seq
+    codes = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+    errs = rng.random(len(codes)) < error_rate
+    if errs.any():
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        subs = lut[rng.integers(0, 4, size=int(errs.sum()))]
+        codes[errs] = subs
+    return codes.tobytes().decode()
+
+
+def sample_reads(
+    rng: np.random.Generator,
+    transcripts: list[str],
+    abundances: list[float] | None = None,
+    coverage: float = 30.0,
+    read_length: int = 80,
+    error_rate: float = 0.0,
+    both_strands: bool = True,
+    tile_stride: int = 0,
+) -> list[str]:
+    """Single-end reads at the given per-transcript coverage (scaled by
+    abundance): a deterministic error-free tiling (stride = tile_stride,
+    default read_length//3, plus the final start) guarantees every k-mer
+    window and junction is covered — recovery failures in tests then mean
+    assembler bugs, not sampling gaps — topped up with uniform-position
+    random reads to reach the target coverage."""
+    from shannon_tpu.io.dna import revcomp_str
+
+    if abundances is None:
+        abundances = [1.0] * len(transcripts)
+    stride = tile_stride or max(read_length // 3, 1)
+    reads: list[str] = []
+    for t, ab in zip(transcripts, abundances):
+        if len(t) < read_length:
+            continue
+        last = len(t) - read_length
+        tile_starts = list(range(0, last + 1, stride))
+        if tile_starts[-1] != last:
+            tile_starts.append(last)
+        for s in tile_starts:
+            reads.append(t[s : s + read_length])
+        n_extra = int(np.ceil(coverage * ab * len(t) / read_length)) - len(tile_starts)
+        if n_extra > 0:
+            starts = rng.integers(0, last + 1, size=n_extra)
+            for s in starts:
+                r = t[s : s + read_length]
+                if both_strands and rng.random() < 0.5:
+                    r = revcomp_str(r)
+                reads.append(mutate(rng, r, error_rate))
+    return reads
+
+
+def sample_paired_reads(
+    rng: np.random.Generator,
+    transcripts: list[str],
+    abundances: list[float] | None = None,
+    coverage: float = 30.0,
+    read_length: int = 80,
+    insert_size: int = 250,
+    error_rate: float = 0.0,
+) -> list[str]:
+    """Paired-end fragments: mate 1 = fragment start (fwd), mate 2 = RC of
+    fragment end; interleaved [L0, R0, L1, R1, ...]."""
+    from shannon_tpu.io.dna import revcomp_str
+
+    if abundances is None:
+        abundances = [1.0] * len(transcripts)
+    reads: list[str] = []
+    for t, ab in zip(transcripts, abundances):
+        if len(t) < insert_size:
+            continue
+        n_frags = int(np.ceil(coverage * ab * len(t) / (2 * read_length)))
+        starts = rng.integers(0, len(t) - insert_size + 1, size=n_frags)
+        for s in starts:
+            frag = t[s : s + insert_size]
+            left = frag[:read_length]
+            right = revcomp_str(frag[-read_length:])
+            reads.append(mutate(rng, left, error_rate))
+            reads.append(mutate(rng, right, error_rate))
+    return reads

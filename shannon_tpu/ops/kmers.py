@@ -1,0 +1,119 @@
+"""Two-word k-mer primitives + windowed extraction (device).
+
+Oracle parity target: shannon_tpu.oracle.counting (binding spec there).
+A k-mer value is 2k bits, carried as (hi, lo) uint32 where lo = bits
+[0, 32), hi = bits [32, 2k).  k <= 31 on device so the all-ones sentinel
+(used for invalid/padding lanes) can never collide with a real k-mer.
+
+Extraction is carry-free: base i of a window contributes code << 2(k-1-i)
+with a *static* shift, so the whole [reads, windows] plane is k fused
+vector ops — no scan, no data-dependent control flow (XLA-friendly;
+SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+_M2 = jnp.uint32(0x33333333)
+_M4 = jnp.uint32(0x0F0F0F0F)
+_M8 = jnp.uint32(0x00FF00FF)
+
+
+def _rev2_32(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the sixteen 2-bit groups within each uint32 lane."""
+    x = ((x & _M2) << 2) | ((x >> 2) & _M2)
+    x = ((x & _M4) << 4) | ((x >> 4) & _M4)
+    x = ((x & _M8) << 8) | ((x >> 8) & _M8)
+    return (x << 16) | (x >> 16)
+
+
+def _masks(k: int) -> tuple[int, int]:
+    """(hi_mask, lo_mask) of used bits for a k-mer."""
+    bits = 2 * k
+    lo_mask = 0xFFFFFFFF if bits >= 32 else (1 << bits) - 1
+    hi_mask = (1 << (bits - 32)) - 1 if bits > 32 else 0
+    return hi_mask, lo_mask
+
+
+def revcomp_hilo(hi: jnp.ndarray, lo: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse complement in packed two-word space (matches oracle
+    revcomp_kmer).  rc(v) = reverse-2bit-groups(~v) >> (64 - 2k)."""
+    hi_mask, lo_mask = _masks(k)
+    ch = (~hi) & jnp.uint32(hi_mask)
+    cl = (~lo) & jnp.uint32(lo_mask)
+    r_hi = _rev2_32(cl)  # 64-bit 2-bit-group reversal swaps the words
+    r_lo = _rev2_32(ch)
+    s = 64 - 2 * k  # static
+    if s == 0:
+        return r_hi, r_lo
+    if s < 32:
+        out_lo = (r_lo >> s) | (r_hi << (32 - s))
+        out_hi = r_hi >> s
+    else:
+        out_lo = r_hi >> (s - 32)
+        out_hi = jnp.zeros_like(r_hi)
+    return out_hi, out_lo
+
+
+def canonical_hilo(
+    hi: jnp.ndarray, lo: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """min(v, rc(v)) lexicographic on (hi, lo)."""
+    rhi, rlo = revcomp_hilo(hi, lo, k)
+    take_fwd = (hi < rhi) | ((hi == rhi) & (lo <= rlo))
+    return jnp.where(take_fwd, hi, rhi), jnp.where(take_fwd, lo, rlo)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_kmers(
+    codes: jnp.ndarray,  # [n, L] uint8 base codes (>=4 invalid)
+    lengths: jnp.ndarray,  # [n] int32
+    k: int,
+    canonical: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All windows' k-mers: returns (hi, lo, valid), each [n, L-k+1].
+
+    Invalid windows (containing a non-ACGT code or extending past the
+    read length) have (hi, lo) = SENTINEL and valid = False.
+    """
+    n, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"pad_length {L} < k {k}")
+    c32 = codes.astype(jnp.uint32)
+    hi = jnp.zeros((n, W), dtype=jnp.uint32)
+    lo = jnp.zeros((n, W), dtype=jnp.uint32)
+    valid = jnp.ones((n, W), dtype=bool)
+    for i in range(k):  # static unroll: k fused vector ops
+        ci = c32[:, i : i + W]
+        valid &= ci < 4
+        s = 2 * (k - 1 - i)
+        if s >= 32:
+            hi = hi | (ci << (s - 32))
+        elif s > 30:  # cannot happen (s even) — keep for clarity
+            raise AssertionError
+        else:
+            lo = lo | (ci << s)
+    # window must fit inside the read
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+    valid &= idx + k <= lengths[:, None]
+    if canonical:
+        hi, lo = canonical_hilo(hi, lo, k)
+    hi = jnp.where(valid, hi, SENTINEL)
+    lo = jnp.where(valid, lo, SENTINEL)
+    return hi, lo, valid
+
+
+def hilo_to_int(hi, lo) -> "jnp.ndarray":
+    """Host-side helper: combine to python-int-compatible uint64 (numpy)."""
+    import numpy as np
+
+    return (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+        lo, dtype=np.uint64
+    )

@@ -13,8 +13,11 @@ Spec (binding for the TPU pipeline):
        left-siblings(x)  = alive k-mers of the form b·suffix_{k-1}(x),
      where membership is tested up to canonicalization.  x is pruned in a
      round if
-       count(x) * 1 < sibling_ratio * max(count over right-siblings(x)) OR
-       count(x) * 1 < sibling_ratio * max(count over left-siblings(x)).
+       count(x) < sibling_ratio * max(count over right-siblings(x)) OR
+       count(x) < sibling_ratio * max(count over left-siblings(x)),
+     with the comparison evaluated in IEEE float32 (the device compute
+     precision — fixing the precision makes oracle/device parity exact at
+     threshold boundaries).
      (x is its own sibling on both sides, so a lone branch never prunes.)
      All prunes within a round are decided against the round's *starting*
      alive set (jacobi-style, not gauss-seidel) — this makes the result
@@ -42,6 +45,8 @@ Spec (binding for the TPU pipeline):
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.counting import canon_kmer, revcomp_kmer
@@ -81,7 +86,10 @@ def correct_kmers(
             lmax = 0
             for b in range(4):
                 lmax = max(lmax, _alive_count(alive, (b << hi_shift) | suf, k, ss))
-            if c < config.sibling_ratio * rmax or c < config.sibling_ratio * lmax:
+            ratio = np.float32(config.sibling_ratio)
+            if np.float32(c) < ratio * np.float32(rmax) or np.float32(
+                c
+            ) < ratio * np.float32(lmax):
                 pruned.append(v)
         if not pruned:
             break

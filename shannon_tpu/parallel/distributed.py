@@ -1,0 +1,143 @@
+"""Sharded k-mer counting: the distributed backbone (SURVEY.md §3.4).
+
+Per device (shard_map over the 1-D mesh axis 'd'):
+
+  1. extract + locally pre-count the shard's k-mers (sort + segment
+     reduce) — combining before communicating, the same trick the
+     reference gets from Jellyfish's per-thread hashes;
+  2. hash-bucket the local unique (k-mer, count) entries by owner
+     device (multiplicative hash mod D) into fixed-size buckets;
+  3. all_to_all the buckets (the one communication-heavy phase; rides
+     ICI in a slice);
+  4. merge the D received buckets (sort + segment-sum of counts) —
+     each device now owns the exact global counts of its hash slice;
+  5. all_gather the slices and re-sort into the full sorted spectrum,
+     replicated on every device (correction probes may touch any
+     k-mer, so the corrected table is kept replicated; its size is
+     bounded by kmer_capacity).
+
+Bucket overflow (a pathologically skewed hash slice) is detected and
+reported via the returned flag, never silent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from shannon_tpu.ops.count import Spectrum, _sort3, _unique_reduce
+from shannon_tpu.ops.kmers import SENTINEL, extract_kmers
+from shannon_tpu.parallel.mesh import READS_AXIS
+
+
+def _hash_dev(hi: jnp.ndarray, lo: jnp.ndarray, n_dev: int) -> jnp.ndarray:
+    """Owner device of each k-mer: multiplicative hash of (hi, lo)."""
+    h = lo * jnp.uint32(2654435761) + hi * jnp.uint32(0x9E3779B9)
+    h ^= h >> 16
+    return (h % jnp.uint32(n_dev)).astype(jnp.int32)
+
+
+def count_spectrum_sharded(
+    codes: jnp.ndarray,  # [N, L] uint8 (N divisible by n_dev)
+    lengths: jnp.ndarray,  # [N] int32
+    k: int,
+    capacity: int,
+    mesh: Mesh,
+    canonical: bool = True,
+    bucket_cap: int | None = None,
+) -> tuple[Spectrum, jnp.ndarray]:
+    """Global spectrum (replicated) + boolean overflow flag.
+
+    `capacity` is the per-device local-spectrum capacity; the final
+    table capacity is n_dev * bucket_cap * ... == n_dev * bucket_cap
+    entries gathered, reduced back into `capacity` lanes — callers keep
+    the same capacity contract as the single-chip path.
+    """
+    n_dev = mesh.devices.size
+    if bucket_cap is None:
+        # balanced hash => ~capacity/n_dev per bucket; 2x slack
+        bucket_cap = max(-(-capacity // n_dev) * 2, 8)
+
+    def local(codes_l, lengths_l):
+        # 1. local pre-count
+        hi, lo, valid = extract_kmers(codes_l, lengths_l, k, canonical)
+        hi, lo = hi.reshape(-1), lo.reshape(-1)
+        ones = valid.reshape(-1).astype(jnp.int32)
+        hi, lo, ones = _sort3(hi, lo, ones)
+        spec_l = _unique_reduce(hi, lo, ones, capacity)
+
+        # 2. bucket by owner device: sort local spectrum by (dev, hi, lo)
+        dev = _hash_dev(spec_l.hi, spec_l.lo, n_dev)
+        pad = (spec_l.hi == SENTINEL) & (spec_l.lo == SENTINEL)
+        dev = jnp.where(pad, n_dev, dev)  # padding sorts last
+        dev, bhi, blo, bcnt = jax.lax.sort(
+            (dev, spec_l.hi, spec_l.lo, spec_l.count), num_keys=3
+        )
+        # position of each entry within its bucket
+        idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        first_of_dev = jnp.searchsorted(
+            dev, jnp.arange(n_dev + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        within = idx - first_of_dev[jnp.clip(dev, 0, n_dev)]
+        overflow = jnp.any((within >= bucket_cap) & (dev < n_dev))
+        # scatter into [n_dev, bucket_cap] buckets
+        tgt = jnp.where(
+            (dev < n_dev) & (within < bucket_cap),
+            dev * bucket_cap + within,
+            n_dev * bucket_cap,
+        )
+        buf_hi = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
+        buf_lo = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
+        buf_cnt = jnp.zeros(n_dev * bucket_cap + 1, jnp.int32)
+        buf_hi = buf_hi.at[tgt].set(bhi)
+        buf_lo = buf_lo.at[tgt].set(blo)
+        buf_cnt = buf_cnt.at[tgt].set(jnp.where(dev < n_dev, bcnt, 0))
+        buf_hi = buf_hi[:-1].reshape(n_dev, bucket_cap)
+        buf_lo = buf_lo[:-1].reshape(n_dev, bucket_cap)
+        buf_cnt = buf_cnt[:-1].reshape(n_dev, bucket_cap)
+
+        # 3. all-to-all: bucket j -> device j
+        buf_hi = jax.lax.all_to_all(buf_hi, READS_AXIS, 0, 0, tiled=False)
+        buf_lo = jax.lax.all_to_all(buf_lo, READS_AXIS, 0, 0, tiled=False)
+        buf_cnt = jax.lax.all_to_all(buf_cnt, READS_AXIS, 0, 0, tiled=False)
+
+        # 4. merge received buckets: exact counts of this device's slice,
+        # compacted to bucket_cap lanes (real slice size ~capacity/n_dev)
+        mh, ml, mc = _sort3(
+            buf_hi.reshape(-1), buf_lo.reshape(-1), buf_cnt.reshape(-1)
+        )
+        slice_spec = _unique_reduce(mh, ml, mc, n_dev * bucket_cap)
+        overflow = overflow | (slice_spec.n > bucket_cap)
+
+        # 5. gather slices, re-sort, reduce into the final capacity
+        gh = jax.lax.all_gather(slice_spec.hi[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+        gl = jax.lax.all_gather(slice_spec.lo[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+        gc = jax.lax.all_gather(slice_spec.count[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+        gh, gl, gc = _sort3(gh, gl, gc)
+        # slices are disjoint: plain slice of the first `capacity` lanes
+        final = Spectrum(
+            hi=gh[:capacity], lo=gl[:capacity], count=gc[:capacity],
+            n=jnp.minimum(
+                (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32),
+                capacity,
+            ),
+        )
+        cap_overflow = (
+            (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32)
+            > capacity
+        )
+        overflow = overflow | cap_overflow
+        return final, overflow
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P(READS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(codes, lengths)

@@ -1,0 +1,244 @@
+"""Pipeline orchestrator — the reference's `shannon.py` stage sequencing
+(SURVEY.md §4.1) rebuilt: ingest -> device k-mer spectrum (count +
+correct) -> graph assembly (condense, thread, MB, SF) -> transcripts.
+
+Contracts preserved from the reference (SURVEY.md §6):
+  * stage outputs are serialized into the out-dir and double as
+    checkpoints — re-running skips stages whose artifacts exist
+    (config.resume);
+  * per-stage wall-clock + counters go to timing.log / stats.json;
+  * the oracle backend (`backend='oracle'`) runs the same stages in pure
+    Python and must produce the identical transcript set (parity gate).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from shannon_tpu.config import AssemblyConfig
+from shannon_tpu.io.dna import encode_seq
+from shannon_tpu.io.fastx import interleave_pairs, read_fastx, write_fasta
+from shannon_tpu.io.pack import ReadBatch, pack_reads
+from shannon_tpu.oracle.assemble import (
+    AssemblyResult,
+    Transcript,
+    dedupe_and_filter,
+    enumerate_transcripts,
+)
+from shannon_tpu.oracle.correction import clip_tips, correct_kmers
+from shannon_tpu.oracle.counting import count_kmers
+from shannon_tpu.oracle.graph import build_contigs
+from shannon_tpu.oracle.multibridge import multibridge, thread_reads
+from shannon_tpu.oracle.nodegraph import NodeGraph
+from shannon_tpu.oracle.sparseflow import sparse_flow
+from shannon_tpu.utils.timing import StageTimer
+
+
+def _spectrum_device(batch: ReadBatch, config: AssemblyConfig) -> dict[int, int]:
+    """Device path: count + correct on TPU, return alive k-mer dict."""
+    from shannon_tpu.ops.correction import correct_spectrum
+    from shannon_tpu.ops.count import count_reads_spectrum
+
+    spec = count_reads_spectrum(
+        batch.codes,
+        batch.lengths,
+        k=config.k,
+        capacity=config.kmer_capacity,
+        canonical=not config.strand_specific,
+        batch_reads=config.batch_reads,
+    )
+    if spec.overflowed():
+        raise RuntimeError(
+            f"kmer_capacity={config.kmer_capacity} overflowed; raise "
+            "AssemblyConfig.kmer_capacity"
+        )
+    spec = correct_spectrum(
+        spec,
+        config.k,
+        config.min_abundance,
+        config.sibling_ratio,
+        config.correction_rounds,
+        canonical=not config.strand_specific,
+    )
+    return spec.to_dict()
+
+
+def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
+    counts = count_kmers(reads, config.k, config.strand_specific)
+    return correct_kmers(counts, config)
+
+
+def assemble(
+    reads: list[str],
+    config: AssemblyConfig | None = None,
+    backend: str = "device",
+    timer: StageTimer | None = None,
+) -> AssemblyResult:
+    """In-memory end-to-end assembly.  backend: 'device' (TPU spectrum) or
+    'oracle' (pure Python spectrum); both share the graph/assembly stages
+    and must produce identical output (tested)."""
+    config = config or AssemblyConfig()
+    timer = timer or StageTimer(echo=False)
+
+    with timer.stage("spectrum", n_reads=len(reads)):
+        if backend == "device":
+            batch = pack_reads(reads, pad_length=config.read_pad_length)
+            alive = _spectrum_device(batch, config)
+        elif backend == "oracle":
+            alive = _spectrum_oracle(reads, config)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+    n_alive_pre = len(alive)
+
+    with timer.stage("tip_clip"):
+        alive = clip_tips(alive, config)
+
+    with timer.stage("graph"):
+        cgraph = build_contigs(alive, config)
+        comps = cgraph.components()
+
+    with timer.stage("threading"):
+        read_codes = [encode_seq(s) for s in reads]
+        paths = thread_reads(read_codes, cgraph, config)
+
+    with timer.stage("assembly"):
+        g = NodeGraph.from_contig_graph(cgraph, paths)
+        n_mb = multibridge(g, config)
+        n_sf = sparse_flow(g, config)
+        transcripts, truncated = enumerate_transcripts(g, config)
+        final = dedupe_and_filter(transcripts, config)
+
+    stats = {
+        "n_reads": len(reads),
+        "n_kmers_alive": n_alive_pre,
+        "n_kmers_final": len(alive),
+        "n_contigs": cgraph.n,
+        "n_components": len(comps),
+        "n_mb_splits": n_mb,
+        "n_sf_splits": n_sf,
+        "n_transcripts": len(final),
+        "truncated": truncated,
+        "backend": backend,
+    }
+    timer.note("assembly", **{k: v for k, v in stats.items() if k != "backend"})
+    return AssemblyResult(transcripts=final, stats=stats)
+
+
+# ---------------------------------------------------------------------
+# File-based pipeline with stage checkpoints (reference CLI contract)
+# ---------------------------------------------------------------------
+
+
+def run_pipeline(
+    config: AssemblyConfig,
+    single: str | None = None,
+    left: str | None = None,
+    right: str | None = None,
+    backend: str = "device",
+) -> AssemblyResult:
+    """File in -> out-dir artifacts -> transcripts.fasta.
+
+    Stage artifacts (skipped on re-run when present and config.resume):
+      reads.npz       ingested, encoded, padded reads
+      spectrum.npz    corrected k-mer spectrum
+      transcripts.fasta  final output
+    """
+    out = Path(config.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "config.json").write_text(config.to_json())
+    timer = StageTimer(out_dir=out)
+
+    reads_npz = out / "reads.npz"
+    if config.resume and reads_npz.exists():
+        data = np.load(reads_npz)
+        batch = ReadBatch(
+            codes=data["codes"], lengths=data["lengths"], paired=bool(data["paired"])
+        )
+        timer.note("ingest", skipped=True, n_reads=batch.n_reads)
+    else:
+        with timer.stage("ingest"):
+            if single is not None:
+                seqs = [s for _, s in read_fastx(single)]
+                paired = False
+            elif left is not None and right is not None:
+                seqs = [s for _, s in interleave_pairs(left, right)]
+                paired = True
+            else:
+                raise ValueError("provide --single or --left/--right")
+            batch = pack_reads(seqs, pad_length=config.read_pad_length, paired=paired)
+            np.savez_compressed(
+                reads_npz,
+                codes=batch.codes,
+                lengths=batch.lengths,
+                paired=batch.paired,
+            )
+        timer.note("ingest", n_reads=batch.n_reads, total_bases=batch.total_bases)
+
+    spectrum_npz = out / "spectrum.npz"
+    if config.resume and spectrum_npz.exists():
+        data = np.load(spectrum_npz)
+        alive = {int(k): int(c) for k, c in zip(data["kmers"], data["counts"])}
+        timer.note("spectrum", skipped=True, n_kmers=len(alive))
+    else:
+        reads = batch.sequences()
+        with timer.stage("spectrum", n_reads=len(reads)):
+            if backend == "device":
+                alive = _spectrum_device(batch, config)
+            else:
+                alive = _spectrum_oracle(reads, config)
+            alive = clip_tips(alive, config)
+        keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
+        vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
+        order = np.argsort(keys)
+        np.savez_compressed(spectrum_npz, kmers=keys[order], counts=vals[order])
+        timer.note("spectrum", n_kmers=len(alive))
+
+    fasta = out / "transcripts.fasta"
+    if config.resume and fasta.exists():
+        transcripts = [
+            Transcript(seq=seq, abundance=float(h.split("abundance=")[1]))
+            for h, seq in read_fastx(fasta)
+        ]
+        result = AssemblyResult(transcripts=transcripts, stats={"resumed": True})
+        timer.note("assembly", skipped=True, n_transcripts=len(transcripts))
+    else:
+        reads = batch.sequences()
+        with timer.stage("graph"):
+            cgraph = build_contigs(alive, config)
+        with timer.stage("threading"):
+            read_codes = [encode_seq(s) for s in reads]
+            paths = thread_reads(read_codes, cgraph, config)
+        with timer.stage("assembly"):
+            g = NodeGraph.from_contig_graph(cgraph, paths)
+            n_mb = multibridge(g, config)
+            n_sf = sparse_flow(g, config)
+            transcripts_all, truncated = enumerate_transcripts(g, config)
+            final = dedupe_and_filter(transcripts_all, config)
+        write_fasta(
+            fasta,
+            [
+                (f"shannon_tpu_{i} abundance={t.abundance:.4f}", t.seq)
+                for i, t in enumerate(final)
+            ],
+        )
+        result = AssemblyResult(
+            transcripts=final,
+            stats={
+                "n_reads": batch.n_reads,
+                "n_kmers_final": len(alive),
+                "n_contigs": cgraph.n,
+                "n_components": len(cgraph.components()),
+                "n_mb_splits": n_mb,
+                "n_sf_splits": n_sf,
+                "n_transcripts": len(final),
+                "truncated": truncated,
+                "backend": backend,
+            },
+        )
+        timer.note("assembly", n_transcripts=len(final))
+    timer.flush_stats(extra={"result": result.stats})
+    return result

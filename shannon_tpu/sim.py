@@ -117,9 +117,14 @@ def sample_paired_reads(
     for t, ab in zip(transcripts, abundances):
         if len(t) < insert_size:
             continue
+        last = len(t) - insert_size
+        stride = max(read_length // 3, 1)
+        tile = list(range(0, last + 1, stride))
+        if tile[-1] != last:
+            tile.append(last)
         n_frags = int(np.ceil(coverage * ab * len(t) / (2 * read_length)))
-        starts = rng.integers(0, len(t) - insert_size + 1, size=n_frags)
-        for s in starts:
+        extra = rng.integers(0, last + 1, size=max(n_frags - len(tile), 0))
+        for s in [*tile, *extra.tolist()]:
             frag = t[s : s + insert_size]
             left = frag[:read_length]
             right = revcomp_str(frag[-read_length:])

@@ -1,0 +1,337 @@
+"""Device de Bruijn graph condensation via pointer-jumping
+(SURVEY.md §8 M2: 'condensation (pointer-jumping / segment ops)').
+
+Replaces the reference's dict-walk unitig construction (SURVEY.md §4.2)
+with fixed-shape array passes:
+
+  1. oriented node table: both orientations of every alive canonical
+     k-mer, sorted + deduped (palindromes collapse; max-reduce keeps the
+     canonical count);
+  2. successor/predecessor probes (4 + 4 binary searches per node) give
+     degrees and mergeable links (out==1 into in==1);
+  3. isolated cycles are broken at their minimum-index node, detected by
+     min-propagating pointer doubling;
+  4. plain pointer doubling labels every node with its unitig head and
+     offset; segment scatter-adds give per-contig k-mer length and
+     abundance (float32 mean, matching the oracle spec);
+  5. tail-node probes emit the contig-level edge lists [n, 4].
+
+All shapes are static in the node capacity (2x spectrum capacity);
+contig-indexed outputs live in the first n_contigs lanes.
+
+Oracle parity target: shannon_tpu.oracle.graph.build_contigs (tested as
+(seq, abundance, edges) set equality in tests/test_condense_ops.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shannon_tpu.ops.count import Spectrum
+from shannon_tpu.ops.kmers import SENTINEL, revcomp_hilo
+from shannon_tpu.ops.spectrum import lower_bound_hilo
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ContigArrays:
+    """Device contig graph.  Node lanes: capacity C2; contig-indexed
+    arrays are valid in lanes [0, n_contigs)."""
+
+    # per oriented node
+    node_hi: jnp.ndarray  # [C2] uint32 (SENTINEL pad)
+    node_lo: jnp.ndarray
+    node_count: jnp.ndarray  # [C2] int32
+    node_cid: jnp.ndarray  # [C2] int32 contig id (or -1 pad)
+    node_off: jnp.ndarray  # [C2] int32 offset within contig
+    # per contig
+    klen: jnp.ndarray  # [C2] int32 #member k-mers
+    abundance: jnp.ndarray  # [C2] float32 mean member count
+    head_lane: jnp.ndarray  # [C2] int32 node lane of first k-mer
+    tail_lane: jnp.ndarray  # [C2] int32 node lane of last k-mer
+    out_edges: jnp.ndarray  # [C2, 4] int32 successor cid or -1
+    n_nodes: jnp.ndarray  # [] int32
+    n_contigs: jnp.ndarray  # [] int32
+
+    def tree_flatten(self):
+        return (
+            self.node_hi, self.node_lo, self.node_count, self.node_cid,
+            self.node_off, self.klen, self.abundance, self.head_lane,
+            self.tail_lane, self.out_edges, self.n_nodes, self.n_contigs,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _probe_neighbors(thi, tlo, k, direction):
+    """For each table entry, lower-bound indices + hit masks of its 4
+    oriented extensions.  direction: 'succ' (suffix·b) or 'pred'
+    (b·prefix)."""
+    hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
+    lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
+    hs = 2 * (k - 1)
+    phs, pls = [], []
+    for b in range(4):
+        bb = jnp.uint32(b)
+        if direction == "succ":
+            phs.append(((thi << 2) | (tlo >> 30)) & hi_mask)
+            pls.append(((tlo << 2) | bb) & lo_mask)
+        else:
+            lh = thi >> 2
+            ll = (tlo >> 2) | (thi << 30)
+            if hs >= 32:
+                lh = lh | (bb << (hs - 32))
+            else:
+                ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
+            phs.append(lh)
+            pls.append(ll)
+    qh = jnp.stack(phs, axis=-1)  # [C2, 4]
+    ql = jnp.stack(pls, axis=-1)
+    idx, hit = lower_bound_hilo(thi, tlo, qh.reshape(-1), ql.reshape(-1))
+    return idx.reshape(qh.shape), hit.reshape(qh.shape)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> ContigArrays:
+    C = spec.capacity
+    pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
+
+    # ---- 1. oriented node table --------------------------------------
+    if canonical:
+        rhi, rlo = revcomp_hilo(spec.hi, spec.lo, k)
+        rhi = jnp.where(pad, SENTINEL, rhi)
+        rlo = jnp.where(pad, SENTINEL, rlo)
+        thi = jnp.concatenate([spec.hi, rhi])
+        tlo = jnp.concatenate([spec.lo, rlo])
+        tcnt = jnp.concatenate([spec.count, spec.count])
+        thi, tlo, tcnt = jax.lax.sort((thi, tlo, tcnt), num_keys=2)
+        # dedupe palindromes: max-reduce consecutive equal keys
+        C2 = 2 * C
+        same_prev = jnp.zeros(C2, bool).at[1:].set(
+            (thi[1:] == thi[:-1]) & (tlo[1:] == tlo[:-1])
+        )
+        is_start = ~same_prev & ~((thi == SENTINEL) & (tlo == SENTINEL))
+        run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        tgt = jnp.where(is_start, run_id, C2)
+        nhi = jnp.full(C2 + 1, SENTINEL, jnp.uint32).at[tgt].set(thi)
+        nlo = jnp.full(C2 + 1, SENTINEL, jnp.uint32).at[tgt].set(tlo)
+        ncnt = (
+            jnp.zeros(C2 + 1, jnp.int32)
+            .at[jnp.where(is_start | same_prev, run_id, C2)]
+            .max(tcnt)
+        )
+        node_hi, node_lo = nhi[:C2], nlo[:C2]
+        node_count = jnp.where(node_hi == SENTINEL, 0, ncnt[:C2])
+        n_nodes = is_start.sum(dtype=jnp.int32)
+    else:
+        C2 = C
+        node_hi, node_lo, node_count = spec.hi, spec.lo, spec.count
+        n_nodes = spec.n
+
+    real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
+
+    # ---- 2. degrees + mergeable links --------------------------------
+    s_idx, s_hit = _probe_neighbors(node_hi, node_lo, k, "succ")
+    p_idx, p_hit = _probe_neighbors(node_hi, node_lo, k, "pred")
+    s_hit = s_hit & real[:, None]
+    p_hit = p_hit & real[:, None]
+    outdeg = s_hit.sum(axis=1)
+    indeg = p_hit.sum(axis=1)
+    succ1 = jnp.where(s_hit, s_idx, 0).sum(axis=1)  # valid when outdeg==1
+    pred1 = jnp.where(p_hit, p_idx, 0).sum(axis=1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
+    next_link = jnp.where(
+        (outdeg == 1) & (indeg[jnp.clip(succ1, 0, C2 - 1)] == 1), succ1, -1
+    )
+    prev_link = jnp.where(
+        (indeg == 1) & (outdeg[jnp.clip(pred1, 0, C2 - 1)] == 1), pred1, -1
+    )
+
+    n_rounds = max(C2.bit_length(), 1)
+
+    # ---- 3. break isolated cycles at their min node ------------------
+    ptr = jnp.where(prev_link >= 0, prev_link, iota)
+    mn = iota
+
+    def cyc_body(_, st):
+        ptr, mn = st
+        mn = jnp.minimum(mn, mn[ptr])
+        return ptr[ptr], mn
+
+    ptr, mn = jax.lax.fori_loop(0, n_rounds, cyc_body, (ptr, mn))
+    is_cycle = prev_link[ptr] >= 0  # root still has a predecessor
+    cycle_head = is_cycle & (mn == iota)
+    prev2 = jnp.where(cycle_head, -1, prev_link)
+    # a tail is a node whose next either doesn't exist or is a head
+    next_is_head = (next_link >= 0) & (
+        prev2[jnp.clip(next_link, 0, C2 - 1)] < 0
+    )
+    is_tail = real & ((next_link < 0) | next_is_head)
+
+    # ---- 4. head + offset labeling -----------------------------------
+    ptr = jnp.where(prev2 >= 0, prev2, iota)
+    dist = jnp.where(prev2 >= 0, 1, 0)
+
+    def lbl_body(_, st):
+        ptr, dist = st
+        dist = dist + dist[ptr]
+        return ptr[ptr], dist
+
+    ptr, dist = jax.lax.fori_loop(0, n_rounds, lbl_body, (ptr, dist))
+    head = ptr
+    is_head = real & (prev2 < 0)
+
+    # contig ids: rank of head lanes in lane order
+    head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    n_contigs = is_head.sum(dtype=jnp.int32)
+    cid_of_lane = jnp.where(is_head, head_rank, -1)
+    node_cid = jnp.where(real, cid_of_lane[head], -1)
+
+    # ---- per-contig reductions ---------------------------------------
+    tgt_c = jnp.where(real, node_cid, C2)
+    klen = jnp.zeros(C2 + 1, jnp.int32).at[tgt_c].add(1)[:C2]
+    csum = jnp.zeros(C2 + 1, jnp.int32).at[tgt_c].add(node_count)[:C2]
+    abundance = jnp.where(
+        klen > 0, csum.astype(jnp.float32) / klen.astype(jnp.float32), 0.0
+    )
+    head_lane = (
+        jnp.full(C2 + 1, -1, jnp.int32)
+        .at[jnp.where(is_head, node_cid, C2)]
+        .set(iota)[:C2]
+    )
+    tail_lane = (
+        jnp.full(C2 + 1, -1, jnp.int32)
+        .at[jnp.where(is_tail, node_cid, C2)]
+        .set(iota)[:C2]
+    )
+
+    # ---- 5. contig edges from tail probes ----------------------------
+    tl = jnp.clip(tail_lane, 0, C2 - 1)
+    t_sidx = s_idx[tl]  # [C2, 4]
+    t_shit = s_hit[tl] & (tail_lane >= 0)[:, None]
+    out_edges = jnp.where(
+        t_shit, node_cid[jnp.clip(t_sidx, 0, C2 - 1)], -1
+    )
+
+    return ContigArrays(
+        node_hi=node_hi,
+        node_lo=node_lo,
+        node_count=node_count,
+        node_cid=node_cid,
+        node_off=jnp.where(real, dist, -1),
+        klen=klen,
+        abundance=abundance,
+        head_lane=head_lane,
+        tail_lane=tail_lane,
+        out_edges=out_edges,
+        n_nodes=n_nodes,
+        n_contigs=n_contigs,
+    )
+
+
+# ---------------------------------------------------------------------
+# host-side materialization (sequences + ContigGraph for the assembler)
+# ---------------------------------------------------------------------
+
+
+def contig_sequences(ca: ContigArrays, k: int) -> list[str]:
+    """Vectorized host reconstruction of contig base strings."""
+    n_contigs = int(ca.n_contigs)
+    klen = np.asarray(ca.klen[:n_contigs])
+    node_cid = np.asarray(ca.node_cid)
+    node_off = np.asarray(ca.node_off)
+    node_hi = np.asarray(ca.node_hi, dtype=np.uint64)
+    node_lo = np.asarray(ca.node_lo, dtype=np.uint64)
+    real = node_cid >= 0
+    vals = (node_hi << np.uint64(32)) | node_lo
+
+    lengths = klen + k - 1
+    starts = np.zeros(n_contigs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    total = int(starts[-1])
+    buf = np.zeros(total, dtype=np.uint8)
+
+    # every node writes its LAST base at position off + k - 1
+    pos = starts[node_cid[real]] + node_off[real] + k - 1
+    buf[pos] = (vals[real] & np.uint64(3)).astype(np.uint8)
+    # head nodes write their remaining k-1 leading bases
+    heads = real & (node_off == 0)
+    hv = vals[heads]
+    hstart = starts[node_cid[heads]]
+    for i in range(k - 1):
+        buf[hstart + i] = ((hv >> np.uint64(2 * (k - 1 - i))) & np.uint64(3)).astype(
+            np.uint8
+        )
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    chars = lut[buf]
+    return [
+        chars[starts[i] : starts[i + 1]].tobytes().decode("ascii")
+        for i in range(n_contigs)
+    ]
+
+
+def to_contig_graph(ca: ContigArrays, k: int, config) -> "ContigGraph":
+    """Materialize the oracle-format ContigGraph (sequences, edges,
+    kmer->(cid, off) map, rc pairing) from device arrays, so the host
+    assembly stages (threading/MB/SF) run unchanged."""
+    from shannon_tpu.oracle.graph import Contig, ContigGraph
+
+    n_contigs = int(ca.n_contigs)
+    seqs = contig_sequences(ca, k)
+    abund = np.asarray(ca.abundance[:n_contigs], dtype=np.float64)
+    node_cid = np.asarray(ca.node_cid)
+    node_off = np.asarray(ca.node_off)
+    node_hi = np.asarray(ca.node_hi, dtype=np.uint64)
+    node_lo = np.asarray(ca.node_lo, dtype=np.uint64)
+    real = node_cid >= 0
+    vals = ((node_hi << np.uint64(32)) | node_lo)[real]
+    cids = node_cid[real]
+    offs = node_off[real]
+
+    kmer_lists: list[list[int]] = [
+        [0] * int(l) for l in np.asarray(ca.klen[:n_contigs])
+    ]
+    for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist()):
+        kmer_lists[c][o] = v
+    contigs = [
+        Contig(kmers=kmer_lists[i], seq=seqs[i], abundance=float(np.float32(abund[i])))
+        for i in range(n_contigs)
+    ]
+    out_edges_arr = np.asarray(ca.out_edges[:n_contigs])
+    out_edges = [sorted({int(x) for x in row if x >= 0}) for row in out_edges_arr]
+    in_edges: list[list[int]] = [[] for _ in range(n_contigs)]
+    for u, row in enumerate(out_edges):
+        for v in row:
+            in_edges[v].append(u)
+    for row in in_edges:
+        row.sort()
+
+    rc_pair = list(range(n_contigs))
+    if not config.strand_specific:
+        first_kmer_to_cid = {kl[0]: i for i, kl in enumerate(kmer_lists) if kl}
+        from shannon_tpu.oracle.counting import revcomp_kmer
+
+        for cid, kl in enumerate(kmer_lists):
+            rc_first = revcomp_kmer(kl[-1], k)
+            rc_pair[cid] = first_kmer_to_cid.get(rc_first, cid)
+
+    g = ContigGraph(
+        k=k,
+        contigs=contigs,
+        out_edges=out_edges,
+        in_edges=in_edges,
+        rc_pair=rc_pair,
+    )
+    g._contig_of_kmer = {
+        int(v): (int(c), int(o))
+        for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist())
+    }  # type: ignore[attr-defined]
+    return g

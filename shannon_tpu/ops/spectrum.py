@@ -25,6 +25,37 @@ def _lt(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & (al < bl))
 
 
+def lower_bound_hilo(
+    thi: jnp.ndarray,
+    tlo: jnp.ndarray,
+    qhi: jnp.ndarray,
+    qlo: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized lower_bound of (qhi, qlo) in the sorted two-word table
+    (thi, tlo).  Returns (index clamped to C-1, exact-hit mask).
+    SENTINEL pads are the maximum key, so probing them is safe."""
+    C = thi.shape[0]
+    n_iter = max(C.bit_length(), 1)
+    lo_idx = jnp.zeros(qhi.shape, dtype=jnp.int32)
+    width = jnp.full(qhi.shape, C, dtype=jnp.int32)
+
+    def body(_, state):
+        lo_idx, width = state
+        half = width // 2
+        mid = lo_idx + half
+        mh = thi[jnp.minimum(mid, C - 1)]
+        ml = tlo[jnp.minimum(mid, C - 1)]
+        go_right = _lt(mh, ml, qhi, qlo)
+        lo_idx = jnp.where(go_right, mid + 1, lo_idx)
+        width = jnp.where(go_right, width - half - 1, half)
+        return lo_idx, width
+
+    lo_idx, _ = jax.lax.fori_loop(0, n_iter, body, (lo_idx, width))
+    lo_idx = jnp.minimum(lo_idx, C - 1)
+    hit = (thi[lo_idx] == qhi) & (tlo[lo_idx] == qlo)
+    return lo_idx, hit
+
+
 @jax.jit
 def lookup_counts(
     spec: Spectrum, qhi: jnp.ndarray, qlo: jnp.ndarray
@@ -33,29 +64,8 @@ def lookup_counts(
     in table orientation (canonical for canonical spectra).  Any shape."""
     shape = qhi.shape
     qhi, qlo = qhi.reshape(-1), qlo.reshape(-1)
-    C = spec.capacity
-    n_iter = max(C.bit_length(), 1)  # ceil(log2(C)) + 1 covers C lanes
-
-    # lower_bound over the sorted table (SENTINEL pads are the maximum
-    # key, so probing them is safe and lands past every real entry).
-    lo_idx = jnp.zeros(qhi.shape, dtype=jnp.int32)
-    width = jnp.full(qhi.shape, C, dtype=jnp.int32)
-
-    def body(_, state):
-        lo_idx, width = state
-        half = width // 2
-        mid = lo_idx + half
-        mh = spec.hi[jnp.minimum(mid, C - 1)]
-        ml = spec.lo[jnp.minimum(mid, C - 1)]
-        go_right = _lt(mh, ml, qhi, qlo)
-        lo_idx = jnp.where(go_right, mid + 1, lo_idx)
-        width = jnp.where(go_right, width - half - 1, half)
-        return lo_idx, width
-
-    lo_idx, _ = jax.lax.fori_loop(0, n_iter, body, (lo_idx, width))
-    lo_idx = jnp.minimum(lo_idx, C - 1)
-    hit = (spec.hi[lo_idx] == qhi) & (spec.lo[lo_idx] == qlo)
-    return jnp.where(hit, spec.count[lo_idx], 0).reshape(shape)
+    idx, hit = lower_bound_hilo(spec.hi, spec.lo, qhi, qlo)
+    return jnp.where(hit, spec.count[idx], 0).reshape(shape)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))

@@ -1,0 +1,133 @@
+"""Device tip clipping (oracle spec: shannon_tpu/oracle/correction.py
+step 3) — remove short dead-end/isolated contigs dominated at their
+attachment junction, then drop their k-mers from the spectrum.
+
+The 'max competitor abundance excluding self' at a junction is computed
+with a top-2 scatter-max: m1 = max in-neighbor abundance per target,
+m2 = max over in-neighbors strictly below m1, plus a count of m1
+achievers — then a contig sees m2 only when it is the *unique* maximum.
+All float32, matching the oracle comparison spec.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from shannon_tpu.ops.condense import ContigArrays, build_contig_arrays
+from shannon_tpu.ops.correction import _compact
+from shannon_tpu.ops.count import Spectrum
+from shannon_tpu.ops.kmers import SENTINEL, canonical_hilo
+from shannon_tpu.ops.spectrum import lower_bound_hilo
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "tip_klen", "min_len"))
+def tip_clip_round(
+    spec: Spectrum,
+    k: int,
+    sibling_ratio: jnp.ndarray,
+    tip_klen: int,
+    min_len: int,
+    canonical: bool = True,
+) -> tuple[Spectrum, jnp.ndarray]:
+    """One condensation + clip round.  Returns (new spectrum, #doomed)."""
+    ca = build_contig_arrays(spec, k, canonical)
+    C2 = ca.node_hi.shape[0]
+    n_c = ca.n_contigs
+    cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
+    contig_real = cid_iota < n_c
+
+    e_tgt = ca.out_edges  # [C2, 4] cid or -1
+    e_valid = (e_tgt >= 0) & contig_real[:, None]
+    e_src = jnp.broadcast_to(cid_iota[:, None], e_tgt.shape)
+    tgt_safe = jnp.where(e_valid, e_tgt, C2)
+    src_safe = jnp.where(e_valid, e_src, C2)
+
+    ab = ca.abundance  # [C2] float32
+    ab_src = jnp.where(e_valid, ab[jnp.clip(e_src, 0, C2 - 1)], 0.0)
+    ab_tgt = jnp.where(e_valid, ab[jnp.clip(e_tgt, 0, C2 - 1)], 0.0)
+
+    outdeg = e_valid.sum(axis=1)
+    indeg = jnp.zeros(C2 + 1, jnp.int32).at[tgt_safe].add(1)[:C2]
+
+    # --- top-2 in-neighbor abundance per target ------------------------
+    m1 = jnp.zeros(C2 + 1, jnp.float32).at[tgt_safe].max(ab_src)[:C2]
+    at_max = e_valid & (ab_src == m1[jnp.clip(e_tgt, 0, C2 - 1)])
+    cnt1 = jnp.zeros(C2 + 1, jnp.int32).at[
+        jnp.where(at_max, e_tgt, C2)
+    ].add(1)[:C2]
+    m2 = jnp.zeros(C2 + 1, jnp.float32).at[
+        jnp.where(e_valid & ~at_max, e_tgt, C2)
+    ].max(ab_src)[:C2]
+    # competitor max for edge (c, d), excluding c
+    comp_edge_r = jnp.where(
+        at_max & (cnt1[jnp.clip(e_tgt, 0, C2 - 1)] == 1),
+        m2[jnp.clip(e_tgt, 0, C2 - 1)],
+        m1[jnp.clip(e_tgt, 0, C2 - 1)],
+    )
+    comp_right = jnp.where(e_valid, comp_edge_r, 0.0).max(axis=1)
+
+    # --- top-2 out-neighbor abundance per source (mirror) --------------
+    w1 = jnp.zeros(C2 + 1, jnp.float32).at[src_safe].max(ab_tgt)[:C2]
+    at_wmax = e_valid & (ab_tgt == w1[jnp.clip(e_src, 0, C2 - 1)])
+    cntw = jnp.zeros(C2 + 1, jnp.int32).at[
+        jnp.where(at_wmax, e_src, C2)
+    ].add(1)[:C2]
+    w2 = jnp.zeros(C2 + 1, jnp.float32).at[
+        jnp.where(e_valid & ~at_wmax, e_src, C2)
+    ].max(ab_tgt)[:C2]
+    comp_edge_l = jnp.where(
+        at_wmax & (cntw[jnp.clip(e_src, 0, C2 - 1)] == 1),
+        w2[jnp.clip(e_src, 0, C2 - 1)],
+        w1[jnp.clip(e_src, 0, C2 - 1)],
+    )
+    # scatter to the *target*: max over in-edges (s, c) of s's other outs
+    comp_left = jnp.zeros(C2 + 1, jnp.float32).at[tgt_safe].max(
+        jnp.where(e_valid, comp_edge_l, 0.0)
+    )[:C2]
+
+    seq_len = ca.klen + k - 1
+    short = contig_real & (ca.klen <= tip_klen)
+    ratio = sibling_ratio.astype(jnp.float32)
+    doomed_c = short & (
+        ((indeg == 0) & (outdeg == 0) & (seq_len < min_len))
+        | ((indeg == 0) & (outdeg > 0) & (ab < ratio * comp_right))
+        | ((outdeg == 0) & (indeg > 0) & (ab < ratio * comp_left))
+    )
+    n_doomed = doomed_c.sum(dtype=jnp.int32)
+
+    # --- drop doomed contigs' k-mers from the spectrum -----------------
+    # each spectrum entry is canonical; find its node lane -> cid
+    idx, hit = lower_bound_hilo(ca.node_hi, ca.node_lo, spec.hi, spec.lo)
+    cid_of_entry = jnp.where(hit, ca.node_cid[idx], -1)
+    entry_doomed = (cid_of_entry >= 0) & doomed_c[
+        jnp.clip(cid_of_entry, 0, C2 - 1)
+    ]
+    pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
+    new_spec = _compact(spec, ~entry_doomed & ~pad)
+    return new_spec, n_doomed
+
+
+def clip_tips_spectrum(
+    spec: Spectrum, config, canonical: bool = True
+) -> Spectrum:
+    """Iterated tip clipping to fixpoint (host loop over jitted rounds),
+    matching oracle clip_tips."""
+    tip_klen = config.tip_klen_effective
+    if tip_klen < 0:
+        return spec
+    ratio = jnp.float32(config.sibling_ratio)
+    for _ in range(config.correction_rounds):
+        spec, n_doomed = tip_clip_round(
+            spec,
+            config.k,
+            ratio,
+            tip_klen,
+            config.min_transcript_length,
+            canonical,
+        )
+        if int(n_doomed) == 0:
+            break
+    return spec

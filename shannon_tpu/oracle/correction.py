@@ -133,7 +133,10 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                     for e in g.out_edges[d]:
                         if e != cid:
                             comp = max(comp, g.contigs[e].abundance)
-            if c.abundance < config.sibling_ratio * comp:
+            # float32 comparison — device compute precision (parity)
+            if np.float32(c.abundance) < np.float32(
+                config.sibling_ratio
+            ) * np.float32(comp):
                 doomed.append(cid)
         if not doomed:
             break

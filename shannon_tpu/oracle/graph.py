@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.counting import canon_kmer, kmer_to_str, revcomp_kmer
 
@@ -167,11 +169,14 @@ def build_contigs(alive: dict[int, int], config: AssemblyConfig) -> ContigGraph:
         chars = kmer_to_str(path[0], k)
         tail = "".join(kmer_to_str(v, k)[-1] for v in path[1:])
         count_sum = sum(nodes[v] for v in path)
+        # abundance in float32 — the device compute precision, so that
+        # downstream threshold comparisons are bit-identical (same
+        # rationale as the correction spec)
         contigs.append(
             Contig(
                 kmers=path,
                 seq=chars + tail,
-                abundance=count_sum / len(path),
+                abundance=float(np.float32(count_sum) / np.float32(len(path))),
             )
         )
         for off, v in enumerate(path):

@@ -38,17 +38,20 @@ from shannon_tpu.oracle.sparseflow import sparse_flow
 from shannon_tpu.utils.timing import StageTimer
 
 
-def _spectrum_device(batch: ReadBatch, config: AssemblyConfig) -> dict[int, int]:
-    """Device path: count + correct on TPU, return alive k-mer dict."""
+def _spectrum_device(batch: ReadBatch, config: AssemblyConfig):
+    """Device path: count + correct + tip-clip on TPU; returns the
+    corrected Spectrum (still on device)."""
     from shannon_tpu.ops.correction import correct_spectrum
     from shannon_tpu.ops.count import count_reads_spectrum
+    from shannon_tpu.ops.tipclip import clip_tips_spectrum
 
+    canonical = not config.strand_specific
     spec = count_reads_spectrum(
         batch.codes,
         batch.lengths,
         k=config.k,
         capacity=config.kmer_capacity,
-        canonical=not config.strand_specific,
+        canonical=canonical,
         batch_reads=config.batch_reads,
     )
     if spec.overflowed():
@@ -62,9 +65,19 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig) -> dict[int, int]
         config.min_abundance,
         config.sibling_ratio,
         config.correction_rounds,
-        canonical=not config.strand_specific,
+        canonical=canonical,
     )
-    return spec.to_dict()
+    return clip_tips_spectrum(spec, config, canonical=canonical)
+
+
+def _graph_device(batch: ReadBatch, config: AssemblyConfig):
+    """Full on-device front half: spectrum + condensation; returns
+    (ContigGraph materialized for the host assembler, alive-kmer dict)."""
+    from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
+
+    spec = _spectrum_device(batch, config)
+    ca = build_contig_arrays(spec, config.k, canonical=not config.strand_specific)
+    return to_contig_graph(ca, config.k, config), spec.to_dict()
 
 
 def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
@@ -84,22 +97,21 @@ def assemble(
     config = config or AssemblyConfig()
     timer = timer or StageTimer(echo=False)
 
-    with timer.stage("spectrum", n_reads=len(reads)):
-        if backend == "device":
+    if backend == "device":
+        with timer.stage("spectrum+graph", n_reads=len(reads)):
             batch = pack_reads(reads, pad_length=config.read_pad_length)
-            alive = _spectrum_device(batch, config)
-        elif backend == "oracle":
-            alive = _spectrum_oracle(reads, config)
-        else:
-            raise ValueError(f"unknown backend {backend!r}")
-    n_alive_pre = len(alive)
-
-    with timer.stage("tip_clip"):
-        alive = clip_tips(alive, config)
-
-    with timer.stage("graph"):
-        cgraph = build_contigs(alive, config)
+            cgraph, alive = _graph_device(batch, config)
         comps = cgraph.components()
+    elif backend == "oracle":
+        with timer.stage("spectrum", n_reads=len(reads)):
+            alive = _spectrum_oracle(reads, config)
+            alive = clip_tips(alive, config)
+        with timer.stage("graph"):
+            cgraph = build_contigs(alive, config)
+            comps = cgraph.components()
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    n_alive_pre = len(alive)
 
     with timer.stage("threading"):
         read_codes = [encode_seq(s) for s in reads]
@@ -184,13 +196,12 @@ def run_pipeline(
         alive = {int(k): int(c) for k, c in zip(data["kmers"], data["counts"])}
         timer.note("spectrum", skipped=True, n_kmers=len(alive))
     else:
-        reads = batch.sequences()
-        with timer.stage("spectrum", n_reads=len(reads)):
+        with timer.stage("spectrum", n_reads=batch.n_reads):
             if backend == "device":
-                alive = _spectrum_device(batch, config)
+                alive = _spectrum_device(batch, config).to_dict()
             else:
-                alive = _spectrum_oracle(reads, config)
-            alive = clip_tips(alive, config)
+                alive = _spectrum_oracle(batch.sequences(), config)
+                alive = clip_tips(alive, config)
         keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
         vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
         order = np.argsort(keys)

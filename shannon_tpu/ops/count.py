@@ -104,9 +104,12 @@ def count_spectrum(
     """Count all k-mers of a read batch into a sorted Spectrum."""
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical)
     hi, lo = hi.reshape(-1), lo.reshape(-1)
-    ones = valid.reshape(-1).astype(jnp.int32)
-    hi, lo, ones = _sort3(hi, lo, ones)
-    return _unique_reduce(hi, lo, ones, capacity)
+    # two-operand sort only: per-lane counts are implied (1 for real
+    # lanes, 0 for SENTINEL pads) — a third sort operand would add 33%
+    # to the sort's data movement for nothing
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    real = ~((hi == SENTINEL) & (lo == SENTINEL))
+    return _unique_reduce(hi, lo, real.astype(jnp.int32), capacity)
 
 
 @jax.jit
@@ -119,6 +122,29 @@ def merge_spectra(a: Spectrum, b: Spectrum) -> Spectrum:
     cnt = jnp.concatenate([a.count, b.count])
     hi, lo, cnt = _sort3(hi, lo, cnt)
     return _unique_reduce(hi, lo, cnt, a.capacity)
+
+
+def spectrum_from_arrays(
+    kmers: np.ndarray, counts: np.ndarray, capacity: int | None = None
+) -> Spectrum:
+    """Rebuild a device Spectrum from sorted uint64 key / count arrays
+    (the stage-checkpoint format in pipeline.py)."""
+    n = len(kmers)
+    if capacity is None:
+        capacity = 1 << max(int(n).bit_length(), 4)
+    if capacity < n:
+        raise ValueError(f"capacity {capacity} < {n} entries")
+    hi = np.full(capacity, 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full(capacity, 0xFFFFFFFF, dtype=np.uint32)
+    cnt = np.zeros(capacity, dtype=np.int32)
+    kk = np.asarray(kmers, dtype=np.uint64)
+    hi[:n] = (kk >> np.uint64(32)).astype(np.uint32)
+    lo[:n] = (kk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    cnt[:n] = np.asarray(counts, dtype=np.int32)
+    return Spectrum(
+        hi=jnp.asarray(hi), lo=jnp.asarray(lo), count=jnp.asarray(cnt),
+        n=jnp.int32(n),
+    )
 
 
 def count_reads_spectrum(

@@ -63,15 +63,23 @@ def thread_read(
         return []
     hits = [contig_of_kmer.get(int(v)) for v in kmers]
 
+    # "Run length" is counted in WINDOWS (not contigs visited): the
+    # longest consistent stretch of the read.  Ties -> earliest run.
+    # Note: consecutive windows that are both alive are automatically
+    # geometrically consistent (an alive k-mer's in-contig successor is
+    # its unique graph successor), so runs are simply maximal stretches
+    # of present k-mers — the device threading kernel relies on this.
     best: list[int] = []
+    best_w = 0
     cur: list[int] = []
+    cur_w = 0
     prev: tuple[int, int] | None = None
 
     def flush() -> None:
-        nonlocal best, cur
-        if len(cur) > len(best):
-            best = cur
-        cur = []
+        nonlocal best, best_w, cur, cur_w
+        if cur_w > best_w:
+            best, best_w = cur, cur_w
+        cur, cur_w = [], 0
 
     for h in hits:
         if h is None:
@@ -81,8 +89,10 @@ def thread_read(
         cid, off = h
         if prev is None:
             cur = [cid]
+            cur_w = 1
         else:
             pcid, poff = prev
+            cur_w += 1
             if cid == pcid and off == poff + 1:
                 pass  # advancing inside the same contig
             elif (
@@ -91,32 +101,87 @@ def thread_read(
                 and cid in graph.out_edges[pcid]
             ):
                 cur.append(cid)  # crossing a contig boundary along an edge
-            else:
+            else:  # unreachable when both k-mers are alive (see note)
                 flush()
                 cur = [cid]
+                cur_w = 1
         prev = (cid, off)
     flush()
     return best
+
+
+def join_pair_paths(
+    pl: list[int], pr: list[int], graph: ContigGraph
+) -> list[int] | None:
+    """Join mate paths (both already in transcript orientation — mate 2
+    is reverse-complemented at ingest).  Prefers the largest contig-level
+    overlap (suffix of pl == prefix of pr); falls back to a gap join when
+    an edge pl[-1] -> pr[0] exists (fragment gap shorter than a contig —
+    the paired-end 'long context' bridge, SURVEY.md §6).  None if the
+    paths neither overlap nor connect."""
+    if not pl or not pr:
+        return None
+    for t in range(len(pl)):
+        m = len(pl) - t
+        if m <= len(pr) and pl[t:] == pr[:m]:
+            return pl + pr[m:]
+        if m > len(pr) and pl[t : t + len(pr)] == pr:
+            return pl  # mate 2 entirely inside mate 1's path
+    if pr[0] in graph.out_edges[pl[-1]]:
+        return pl + pr
+    return None
+
+
+def expand_paths(
+    raw_paths: list[list[int]],
+    graph: ContigGraph,
+    config: AssemblyConfig,
+    paired: bool = False,
+) -> list[list[int]]:
+    """Raw per-read paths (aligned with reads; [] = unthreadable) ->
+    evidence path list: paired mates joined where possible, and in
+    canonical mode each path's RC twin added so both orientation copies
+    of the graph receive identical evidence.  Shared by the oracle and
+    device threading backends."""
+    out: list[list[int]] = []
+
+    def emit(p: list[int]) -> None:
+        if not p:
+            return
+        out.append(p)
+        if not config.strand_specific:
+            out.append([graph.rc_pair[c] for c in reversed(p)])
+
+    if paired and config.use_pairs:
+        for i in range(0, len(raw_paths) - 1, 2):
+            joined = join_pair_paths(raw_paths[i], raw_paths[i + 1], graph)
+            if joined is not None:
+                emit(joined)
+            else:
+                emit(raw_paths[i])
+                emit(raw_paths[i + 1])
+        if len(raw_paths) % 2:
+            emit(raw_paths[-1])
+    else:
+        for p in raw_paths:
+            emit(p)
+    return out
 
 
 def thread_reads(
     read_codes: list[np.ndarray],
     graph: ContigGraph,
     config: AssemblyConfig,
+    paired: bool = False,
 ) -> list[list[int]]:
-    """Thread every read; in canonical mode, also thread the implied RC
-    path (reversed rc_pair ids) so both orientation copies of the graph
-    see the same evidence."""
+    """Thread every read and expand to evidence paths (pair joining +
+    RC twins per expand_paths)."""
     contig_of_kmer = graph._contig_of_kmer  # type: ignore[attr-defined]
-    paths: list[list[int]] = []
-    for codes in read_codes:
-        p = thread_read(codes, config.k, contig_of_kmer, graph)
-        if len(p) == 0:
-            continue
-        paths.append(p)
-        if not config.strand_specific:
-            paths.append([graph.rc_pair[c] for c in reversed(p)])
-    return paths
+    raw = [
+        thread_read(codes, config.k, contig_of_kmer, graph)
+        for codes in read_codes
+    ]
+    return expand_paths(raw, graph, config, paired)
 
 
 def _evidence_at(g: NodeGraph) -> dict[int, Counter]:

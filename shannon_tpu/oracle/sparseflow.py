@@ -13,13 +13,17 @@ Spec (binding for the TPU pipeline):
   * **Decomposition**: find a sparse nonnegative matrix F with row sums a
     and column sums b.  Solver: greedy max-min — repeatedly pick the
     (i, j) maximizing min(a_i, b_j), assign f_ij = min(a_i, b_j), deduct;
-    stop when residuals < eps.  This yields <= m+n-1 pairings and
+    stop when residuals vanish.  This yields <= m+n-1 pairings and
     recovers the exact sparsest solution whenever abundances are
     well-separated (the information-optimality regime of the paper).
-    `sf_restarts` randomized tie-breaking restarts (seeded with
-    config.seed ^ node id -> deterministic) keep the sparsest result,
-    ties broken by lexicographically smallest pairing set (SURVEY.md §8
-    hard part 4: pinned-seed determinism).
+
+  * **Determinism / portability** (SURVEY.md §8 hard part 4): ties in
+    the max-min choice are broken by an arithmetic uint32 hash
+    h(i, j, seed) — NOT a host RNG — so the batched device solver
+    reproduces the oracle bit-for-bit.  `sf_restarts` restarts vary the
+    seed (seed_r = mix(config.seed, fnv1a(node.seq), r)); the sparsest
+    result wins, ties between restarts broken by lexicographically
+    smallest pairing set.  Restart 0 uses plain smallest-(i, j) ties.
 
   * Pairings with f_ij < sf_min_flow_frac * s are dropped.  v then
     splits into one copy per surviving pairing exactly as in MB, with
@@ -34,56 +38,86 @@ import numpy as np
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.nodegraph import NodeGraph
 
+def fnv1a(data: bytes) -> int:
+    h = 2166136261
+    for byte in data:
+        h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def tie_hash(i: np.ndarray, j: np.ndarray, seed: int) -> np.ndarray:
+    """Portable uint32 mixing hash used for tie-breaking (same formula
+    on device)."""
+    h = (
+        np.uint32(i) * np.uint32(2654435761)
+        ^ np.uint32(j) * np.uint32(40503)
+        ^ np.uint32(seed)
+    )
+    h = np.uint32(h ^ (h >> np.uint32(16))) * np.uint32(2246822519)
+    return np.uint32(h ^ (h >> np.uint32(13)))
+
 
 def greedy_decompose(
-    a: np.ndarray, b: np.ndarray, rng: np.random.Generator | None = None
+    a: np.ndarray, b: np.ndarray, seed: int | None = None
 ) -> list[tuple[int, int, float]]:
-    """Greedy max-min transport decomposition of margins (a, b).
-
-    Returns [(i, j, f_ij), ...].  Deterministic when rng is None (ties ->
-    smallest (i, j)); with rng, ties are broken uniformly at random.
-    """
-    a = a.astype(np.float64).copy()
-    b = b.astype(np.float64).copy()
-    eps = 1e-9 * max(a.sum(), b.sum(), 1.0)
+    """Greedy max-min transport decomposition of margins (a, b) in
+    float32.  seed=None: ties -> smallest flat (i, j); else ties ->
+    maximum tie_hash(i, j, seed)."""
+    a = a.astype(np.float32).copy()
+    b = b.astype(np.float32).copy()
+    eps = np.float32(1e-6) * max(a.sum(), b.sum(), np.float32(1.0))
     out: list[tuple[int, int, float]] = []
     for _ in range(len(a) + len(b)):
-        if a.max(initial=0.0) <= eps or b.max(initial=0.0) <= eps:
-            break
-        m = np.minimum.outer(a, b)  # m[i, j] = min(a_i, b_j)
+        m = np.minimum.outer(a, b).astype(np.float32)  # m[i,j]=min(a_i,b_j)
         best = m.max()
         if best <= eps:
             break
-        ties = np.argwhere(m >= best - 1e-12 * best)
-        if rng is None or len(ties) == 1:
-            i, j = ties[0]
+        ties = m >= best  # float32 exact max comparison
+        if seed is None:
+            flat = int(np.argmax(ties))  # first True = smallest (i, j)
         else:
-            i, j = ties[rng.integers(len(ties))]
-        f = float(min(a[i], b[j]))
-        out.append((int(i), int(j), f))
+            ii, jj = np.nonzero(ties)
+            h = tie_hash(ii.astype(np.uint32), jj.astype(np.uint32), seed)
+            # max hash wins; residual hash ties -> smallest flat (i, j)
+            cand = np.nonzero(h == h.max())[0]
+            flats = ii[cand] * len(b) + jj[cand]
+            flat = int(flats.min())
+        i, j = divmod(flat, len(b))
+        f = np.float32(min(a[i], b[j]))
+        out.append((int(i), int(j), float(f)))
         a[i] -= f
         b[j] -= f
     return out
 
 
-def _node_flows(g: NodeGraph, v: int) -> tuple[list[int], list[int], np.ndarray, np.ndarray, float]:
+def _node_flows(
+    g: NodeGraph, v: int
+) -> tuple[list[int], list[int], np.ndarray, np.ndarray, float]:
     node = g.nodes[v]
     ins = sorted(node.inc)
     outs = sorted(node.out)
     a = np.array(
-        [g.nodes[u].abundance / max(len(g.nodes[u].out), 1) for u in ins],
-        dtype=np.float64,
+        [
+            np.float32(g.nodes[u].abundance)
+            / np.float32(max(len(g.nodes[u].out), 1))
+            for u in ins
+        ],
+        dtype=np.float32,
     )
     b = np.array(
-        [g.nodes[w].abundance / max(len(g.nodes[w].inc), 1) for w in outs],
-        dtype=np.float64,
+        [
+            np.float32(g.nodes[w].abundance)
+            / np.float32(max(len(g.nodes[w].inc), 1))
+            for w in outs
+        ],
+        dtype=np.float32,
     )
-    s = 0.5 * (a.sum() + b.sum())
+    s = np.float32(0.5) * (a.sum() + b.sum())
     if a.sum() > 0:
-        a *= s / a.sum()
+        a = a * (s / a.sum())
     if b.sum() > 0:
-        b *= s / b.sum()
-    return ins, outs, a, b, s
+        b = b * (s / b.sum())
+    return ins, outs, a, b, float(s)
 
 
 def solve_node(
@@ -93,37 +127,51 @@ def solve_node(
     ins, outs, a, b, s = _node_flows(g, v)
     if s <= 0:
         return []
-    best = greedy_decompose(a, b)
+    best = greedy_decompose(a, b, seed=None)
 
     def key(sol: list[tuple[int, int, float]]) -> tuple:
-        return (len(sol), sorted((i, j) for i, j, _ in sol))
+        # (pairing count, support-bitmask value) — bitmask bit i*N+j.
+        # Chosen over sorted-list lexicographic order because the device
+        # solver compares it as two uint32 words (M*N <= 64).
+        mask = 0
+        for i, j, _ in sol:
+            mask |= 1 << (i * len(b) + j)
+        return (len(sol), mask)
 
+    node_seed = fnv1a(g.nodes[v].seq.encode()) ^ config.seed
     for r in range(config.sf_restarts):
-        rng = np.random.default_rng(
-            np.uint64(config.seed) ^ np.uint64(v * 2654435761 + r + 1)
-        )
-        cand = greedy_decompose(a, b, rng)
+        cand = greedy_decompose(a, b, seed=(node_seed + r + 1) & 0xFFFFFFFF)
         if key(cand) < key(best):
             best = cand
-    thresh = config.sf_min_flow_frac * s
-    return [
-        (ins[i], outs[j], f)
-        for i, j, f in best
-        if f >= thresh
-    ]
+    thresh = np.float32(config.sf_min_flow_frac) * np.float32(s)
+    return [(ins[i], outs[j], f) for i, j, f in best if f >= thresh]
 
 
-def sparse_flow(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> int:
-    """Resolve all remaining X-nodes in place; returns #nodes split."""
+def sparse_flow(
+    g: NodeGraph,
+    config: AssemblyConfig,
+    max_rounds: int = 16,
+    solver=None,
+) -> int:
+    """Resolve all remaining X-nodes in place; returns #nodes split.
+
+    solver(g, xs, config) -> {node: pairings} decomposes a round's
+    X-nodes; default is the per-node host solver, the device backend
+    passes the batched kernel (ops/sparseflow.solve_nodes_device) —
+    both produce identical pairings (tested)."""
     total = 0
     for _ in range(max_rounds):
         g.condense()
         xs = g.x_nodes()
         if not xs:
             break
+        if solver is None:
+            solved = {v: solve_node(g, v, config) for v in xs}
+        else:
+            solved = solver(g, xs, config)
         split_map: dict[int, dict[tuple[int, int], int]] = {}
         for v in xs:
-            pairings = solve_node(g, v, config)
+            pairings = solved.get(v) or []
             if not pairings:
                 continue
             node = g.nodes[v]
@@ -141,8 +189,7 @@ def sparse_flow(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
                 if w not in split_map:
                     g.add_edge(nid, w)
         # adjacent split X-nodes: connect copies that agree on the shared
-        # edge (copy of u with out==v pairs with every copy of v with
-        # in==u — flow between specific copies is unknown locally; the
+        # edge (flow between specific copies is unknown locally; the
         # conservative join keeps all consistent continuations)
         for v, copies in split_map.items():
             for (u, w), nid in copies.items():
@@ -165,7 +212,11 @@ def sparse_flow(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
                 a_ = p[i - 1] if i > 0 else None
                 b_ = p[i + 1] if i + 1 < len(p) else None
                 copies = split_map[x]
-                nid = copies.get((a_, b_)) if a_ is not None and b_ is not None else None
+                nid = (
+                    copies.get((a_, b_))
+                    if a_ is not None and b_ is not None
+                    else None
+                )
                 if nid is None and a_ is not None and b_ is None:
                     cands = sorted({n for (pa, pb), n in copies.items() if pa == a_})
                     nid = cands[0] if len(cands) == 1 else None

@@ -72,12 +72,27 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig):
 
 def _graph_device(batch: ReadBatch, config: AssemblyConfig):
     """Full on-device front half: spectrum + condensation; returns
-    (ContigGraph materialized for the host assembler, alive-kmer dict)."""
+    (ContigGraph materialized for the host assembler, alive-kmer dict,
+    device ContigArrays for further device stages)."""
     from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
 
     spec = _spectrum_device(batch, config)
     ca = build_contig_arrays(spec, config.k, canonical=not config.strand_specific)
-    return to_contig_graph(ca, config.k, config), spec.to_dict()
+    return to_contig_graph(ca, config.k, config), spec.to_dict(), ca
+
+
+def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
+    """Device read threading (hot loop #3) -> evidence path lists."""
+    import jax.numpy as jnp
+
+    from shannon_tpu.oracle.multibridge import expand_paths
+    from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
+
+    paths, plen = thread_reads_device(
+        jnp.asarray(batch.codes), jnp.asarray(batch.lengths), ca, config.k
+    )
+    raw = paths_to_lists(np.asarray(paths), np.asarray(plen))
+    return expand_paths(raw, cgraph, config, paired=batch.paired)
 
 
 def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
@@ -85,23 +100,55 @@ def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]
     return correct_kmers(counts, config)
 
 
+def _sf_solver(backend: str):
+    """Sparse-flow solver for the backend: batched device kernel for
+    'device', per-node host solver otherwise (identical results)."""
+    if backend != "device":
+        return None
+    from shannon_tpu.ops.sparseflow import solve_nodes_device
+
+    return solve_nodes_device
+
+
+def normalize_mate2(reads: list[str]) -> list[str]:
+    """Flip interleaved mate-2 reads ([L0, R0, L1, R1, ...]) into
+    transcript orientation (FR protocol: mate 2 is sequenced from the
+    opposite strand).  Applied at ingest so counting (strand-specific
+    mode) and threading see both mates on the same strand."""
+    from shannon_tpu.io.dna import revcomp_str
+
+    out = list(reads)
+    for i in range(1, len(out), 2):
+        out[i] = revcomp_str(out[i])
+    return out
+
+
 def assemble(
     reads: list[str],
     config: AssemblyConfig | None = None,
     backend: str = "device",
     timer: StageTimer | None = None,
+    paired: bool = False,
 ) -> AssemblyResult:
     """In-memory end-to-end assembly.  backend: 'device' (TPU spectrum) or
     'oracle' (pure Python spectrum); both share the graph/assembly stages
-    and must produce identical output (tested)."""
+    and must produce identical output (tested).  paired: reads are
+    interleaved [L0, R0, ...] with mate 2 as sequenced (it is
+    orientation-normalized here)."""
     config = config or AssemblyConfig()
     timer = timer or StageTimer(echo=False)
+    if paired:
+        reads = normalize_mate2(reads)
 
     if backend == "device":
         with timer.stage("spectrum+graph", n_reads=len(reads)):
-            batch = pack_reads(reads, pad_length=config.read_pad_length)
-            cgraph, alive = _graph_device(batch, config)
+            batch = pack_reads(
+                reads, pad_length=config.read_pad_length, paired=paired
+            )
+            cgraph, alive, ca = _graph_device(batch, config)
         comps = cgraph.components()
+        with timer.stage("threading"):
+            paths = _thread_device(batch, ca, cgraph, config)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -109,18 +156,17 @@ def assemble(
         with timer.stage("graph"):
             cgraph = build_contigs(alive, config)
             comps = cgraph.components()
+        with timer.stage("threading"):
+            read_codes = [encode_seq(s) for s in reads]
+            paths = thread_reads(read_codes, cgraph, config, paired=paired)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     n_alive_pre = len(alive)
 
-    with timer.stage("threading"):
-        read_codes = [encode_seq(s) for s in reads]
-        paths = thread_reads(read_codes, cgraph, config)
-
     with timer.stage("assembly"):
         g = NodeGraph.from_contig_graph(cgraph, paths)
         n_mb = multibridge(g, config)
-        n_sf = sparse_flow(g, config)
+        n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
         transcripts, truncated = enumerate_transcripts(g, config)
         final = dedupe_and_filter(transcripts, config)
 
@@ -177,7 +223,9 @@ def run_pipeline(
                 seqs = [s for _, s in read_fastx(single)]
                 paired = False
             elif left is not None and right is not None:
-                seqs = [s for _, s in interleave_pairs(left, right)]
+                seqs = normalize_mate2(
+                    [s for _, s in interleave_pairs(left, right)]
+                )
                 paired = True
             else:
                 raise ValueError("provide --single or --left/--right")
@@ -217,16 +265,36 @@ def run_pipeline(
         result = AssemblyResult(transcripts=transcripts, stats={"resumed": True})
         timer.note("assembly", skipped=True, n_transcripts=len(transcripts))
     else:
-        reads = batch.sequences()
-        with timer.stage("graph"):
-            cgraph = build_contigs(alive, config)
-        with timer.stage("threading"):
-            read_codes = [encode_seq(s) for s in reads]
-            paths = thread_reads(read_codes, cgraph, config)
+        if backend == "device":
+            from shannon_tpu.ops.condense import (
+                build_contig_arrays,
+                to_contig_graph,
+            )
+            from shannon_tpu.ops.count import spectrum_from_arrays
+
+            with timer.stage("graph"):
+                keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
+                vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
+                order = np.argsort(keys)
+                spec = spectrum_from_arrays(keys[order], vals[order])
+                ca = build_contig_arrays(
+                    spec, config.k, canonical=not config.strand_specific
+                )
+                cgraph = to_contig_graph(ca, config.k, config)
+            with timer.stage("threading"):
+                paths = _thread_device(batch, ca, cgraph, config)
+        else:
+            with timer.stage("graph"):
+                cgraph = build_contigs(alive, config)
+            with timer.stage("threading"):
+                read_codes = [encode_seq(s) for s in batch.sequences()]
+                paths = thread_reads(
+                    read_codes, cgraph, config, paired=batch.paired
+                )
         with timer.stage("assembly"):
             g = NodeGraph.from_contig_graph(cgraph, paths)
             n_mb = multibridge(g, config)
-            n_sf = sparse_flow(g, config)
+            n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
             transcripts_all, truncated = enumerate_transcripts(g, config)
             final = dedupe_and_filter(transcripts_all, config)
         write_fasta(

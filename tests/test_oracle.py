@@ -196,10 +196,9 @@ def test_multibridge_resolves_repeat(rng):
     assert res.canonical_set() == expect
 
 
-def test_sparse_flow_splits_isoforms(rng):
-    # Known-answer SF case: two isoforms sharing flanking exons, with
-    # well-separated abundances; middle exons longer than reads so no
-    # read spans exon1->exon3 junction pairs — MB cannot resolve, SF must.
+def test_isoforms_shared_flanking_exons(rng):
+    # Isoforms sharing first/last exons: no X-node arises (fan-out then
+    # fan-in); path enumeration alone must recover both.
     iso1, iso2 = simulate_isoforms(rng, exon_length=260)
     reads = sample_reads(
         rng, [iso1, iso2], abundances=[4.0, 1.0], coverage=30, read_length=70
@@ -207,6 +206,29 @@ def test_sparse_flow_splits_isoforms(rng):
     res = assemble_oracle(reads, AssemblyConfig(k=21))
     expect = {min(t, revcomp_str(t)) for t in (iso1, iso2)}
     assert res.canonical_set() == expect
+
+
+def test_sparse_flow_splits_shared_segment(rng):
+    # Known-answer SF case (SURVEY.md §5.2): a shared middle segment
+    # LONGER than the read — the X-node cannot be read-bridged, so MB
+    # leaves it and sparse flow must decompose it by its well-separated
+    # abundances (4x vs 1x), without emitting chimeras.
+    from shannon_tpu.sim import random_seq
+
+    a, b, c, d = simulate_transcripts(rng, n=4, length=250)
+    r = random_seq(rng, 120)  # read_length 70 < 120
+    t1, t2 = a + r + b, c + r + d
+    reads = sample_reads(
+        rng, [t1, t2], abundances=[4.0, 1.0], coverage=30, read_length=70
+    )
+    res = assemble_oracle(reads, AssemblyConfig(k=21))
+    expect = {min(t, revcomp_str(t)) for t in (t1, t2)}
+    got = res.canonical_set()
+    assert expect <= got
+    assert res.stats["n_sf_splits"] > 0
+    ch1, ch2 = a + r + d, c + r + b
+    assert min(ch1, revcomp_str(ch1)) not in got
+    assert min(ch2, revcomp_str(ch2)) not in got
 
 
 def test_min_transcript_length_filter(rng):

@@ -1,0 +1,125 @@
+"""Device batched sparse-flow solver parity vs oracle solver,
+including degenerate tie cases (SURVEY.md §8 hard part 4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shannon_tpu.config import AssemblyConfig
+from shannon_tpu.oracle.sparseflow import greedy_decompose, tie_hash
+from shannon_tpu.ops.sparseflow import MAXD, batched_greedy
+
+
+def _device_one(a, b, seed=None):
+    M, N = len(a), len(b)
+    ap = np.zeros((1, MAXD), np.float32)
+    bp = np.zeros((1, MAXD), np.float32)
+    ap[0, :M] = a
+    bp[0, :N] = b
+    F = np.asarray(
+        batched_greedy(
+            jnp.asarray(ap), jnp.asarray(bp),
+            jnp.asarray(np.array([seed or 0], np.uint32)),
+            jnp.asarray(np.array([seed is not None])),
+        )
+    )[0, :M, :N]
+    return F
+
+
+def _oracle_F(a, b, seed=None):
+    F = np.zeros((len(a), len(b)), np.float32)
+    for i, j, f in greedy_decompose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), seed
+    ):
+        F[i, j] += np.float32(f)
+    return F
+
+
+CASES = [
+    ([5.0, 3.0], [5.0, 3.0]),
+    ([5.0, 3.0], [4.0, 4.0]),
+    ([10.0, 1.0, 1.0], [6.0, 6.0]),
+    ([2.0, 2.0, 2.0], [2.0, 2.0, 2.0]),  # fully degenerate ties
+    ([7.5, 2.5], [2.5, 2.5, 5.0]),
+    ([1e-8, 5.0], [5.0, 1e-8]),  # near-zero margins
+    ([4.0], [1.0, 1.0, 1.0, 1.0]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+@pytest.mark.parametrize("seed", [None, 1, 123456789])
+def test_greedy_parity(case, seed):
+    a, b = CASES[case]
+    np.testing.assert_array_equal(_device_one(a, b, seed), _oracle_F(a, b, seed))
+
+
+def test_greedy_parity_random(rng):
+    for _ in range(30):
+        M = int(rng.integers(1, MAXD + 1))
+        N = int(rng.integers(1, MAXD + 1))
+        a = rng.integers(1, 20, size=M).astype(np.float32)
+        b = rng.integers(1, 20, size=N).astype(np.float32)
+        s = 0.5 * (a.sum() + b.sum())
+        a *= s / a.sum()
+        b *= s / b.sum()
+        for seed in (None, int(rng.integers(0, 2**31))):
+            np.testing.assert_array_equal(
+                _device_one(a, b, seed), _oracle_F(a, b, seed)
+            )
+
+
+def test_tie_hash_matches_device():
+    ii, jj = np.meshgrid(np.arange(8, dtype=np.uint32),
+                         np.arange(8, dtype=np.uint32), indexing="ij")
+    host = tie_hash(ii, jj, 42)
+    from shannon_tpu.ops.sparseflow import _tie_hash_dev
+
+    dev = np.asarray(
+        _tie_hash_dev(jnp.asarray(ii.astype(np.int32)),
+                      jnp.asarray(jj.astype(np.int32)),
+                      jnp.uint32(42))
+    )
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_solve_nodes_device_matches_host(rng):
+    """Full pipeline-level check: device solver plugged into sparse_flow
+    gives the same splits as the host solver on an isoform graph."""
+    from shannon_tpu.oracle.assemble import assemble_oracle
+    from shannon_tpu.oracle.correction import clip_tips, correct_kmers
+    from shannon_tpu.oracle.counting import count_kmers
+    from shannon_tpu.oracle.graph import build_contigs
+    from shannon_tpu.oracle.multibridge import multibridge, thread_reads
+    from shannon_tpu.oracle.nodegraph import NodeGraph
+    from shannon_tpu.oracle.sparseflow import sparse_flow
+    from shannon_tpu.io.dna import encode_seq
+    from shannon_tpu.ops.sparseflow import solve_nodes_device
+    from shannon_tpu.sim import random_seq, sample_reads, simulate_transcripts
+
+    # shared middle segment LONGER than the read: an X-node no read can
+    # bridge — only sparse flow resolves it (by abundance separation)
+    a_, b_, c_, d_ = simulate_transcripts(rng, n=4, length=250)
+    r = random_seq(rng, 120)
+    iso = [a_ + r + b_, c_ + r + d_]
+    reads = sample_reads(rng, iso, abundances=[4.0, 1.0], coverage=30,
+                         read_length=70)
+    cfg = AssemblyConfig(k=21)
+
+    def run(solver):
+        alive = clip_tips(correct_kmers(count_kmers(reads, cfg.k), cfg), cfg)
+        cg = build_contigs(alive, cfg)
+        paths = thread_reads([encode_seq(s) for s in reads], cg, cfg)
+        g = NodeGraph.from_contig_graph(cg, paths)
+        multibridge(g, cfg)
+        n = sparse_flow(g, cfg, solver=solver)
+        return n, sorted(
+            (nd.seq, round(nd.abundance, 4))
+            for nd in g.nodes if nd.alive
+        )
+
+    n_host, host_nodes = run(None)
+    n_dev, dev_nodes = run(solve_nodes_device)
+    assert n_host == n_dev
+    assert host_nodes == dev_nodes
+    assert n_host > 0  # the isoform X-node was actually split

@@ -1,0 +1,98 @@
+"""Device read-threading parity vs oracle thread_reads."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shannon_tpu.config import AssemblyConfig
+from shannon_tpu.io.dna import encode_seq
+from shannon_tpu.io.pack import pack_reads
+from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
+from shannon_tpu.ops.correction import correct_spectrum
+from shannon_tpu.ops.count import count_spectrum
+from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
+from shannon_tpu.oracle.correction import clip_tips, correct_kmers
+from shannon_tpu.oracle.counting import count_kmers
+from shannon_tpu.oracle.graph import build_contigs
+from shannon_tpu.oracle.multibridge import thread_reads
+from shannon_tpu.sim import random_seq, sample_reads, simulate_isoforms, simulate_transcripts
+
+
+def _both_graphs(reads, cfg, cap=1 << 16):
+    b = pack_reads(reads, pad_length=max(len(s) for s in reads))
+    canonical = not cfg.strand_specific
+    spec = count_spectrum(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), cfg.k, cap, canonical
+    )
+    assert not spec.overflowed()
+    spec = correct_spectrum(
+        spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
+        cfg.correction_rounds, canonical,
+    )
+    ca = build_contig_arrays(spec, cfg.k, canonical)
+    dev_graph = to_contig_graph(ca, cfg.k, cfg)
+    alive = correct_kmers(count_kmers(reads, cfg.k, cfg.strand_specific), cfg)
+    orc_graph = build_contigs(alive, cfg)
+    return b, ca, dev_graph, orc_graph
+
+
+def _as_seq_paths(paths, graph):
+    return [tuple(graph.contigs[c].seq for c in p) for p in paths]
+
+
+@pytest.mark.parametrize("error_rate", [0.0, 0.02])
+def test_threading_parity(rng, error_rate):
+    ts = simulate_transcripts(rng, n=2, length=250) + simulate_isoforms(
+        rng, exon_length=120
+    )
+    reads = sample_reads(
+        rng, ts, coverage=20, read_length=70, error_rate=error_rate
+    )
+    cfg = AssemblyConfig(k=21)
+    b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
+
+    paths, plen = thread_reads_device(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
+    )
+    from shannon_tpu.oracle.multibridge import expand_paths
+
+    dev_paths = expand_paths(paths_to_lists(paths, plen), dev_graph, cfg)
+    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
+    assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
+        orc_paths, orc_graph
+    )
+
+
+def test_threading_repeat_crossing(rng):
+    # reads spanning a repeat: multi-contig paths must be ordered right
+    a, b_, c, d = simulate_transcripts(rng, n=4, length=150)
+    r = random_seq(rng, 40)
+    ts = [a + r + b_, c + r + d]
+    reads = sample_reads(rng, ts, coverage=25, read_length=80)
+    cfg = AssemblyConfig(k=21)
+    b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
+    from shannon_tpu.oracle.multibridge import expand_paths
+
+    paths, plen = thread_reads_device(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
+    )
+    dev_paths = expand_paths(paths_to_lists(paths, plen), dev_graph, cfg)
+    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
+    assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
+        orc_paths, orc_graph
+    )
+    assert max(len(p) for p in dev_paths) >= 3  # some read spans a->r->b
+
+
+def test_threading_no_hits(rng):
+    ts = simulate_transcripts(rng, n=1, length=200)
+    reads = sample_reads(rng, ts, coverage=10, read_length=60)
+    cfg = AssemblyConfig(k=21)
+    b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
+    # reads from a different transcriptome: no k-mers present
+    alien = pack_reads([random_seq(np.random.default_rng(1), 60)] * 4, 60)
+    paths, plen = thread_reads_device(
+        jnp.asarray(alien.codes), jnp.asarray(alien.lengths), ca, cfg.k
+    )
+    assert paths_to_lists(paths, plen) == [[], [], [], []]

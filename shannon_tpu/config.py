@@ -65,6 +65,12 @@ class AssemblyConfig:
     use_pairs: bool = True
     """Use paired-end mates + insert-size constraints in multibridging."""
 
+    rescue_reads: bool = True
+    """Read rescue (reference stage 3, SURVEY.md §3.1): use EVERY
+    consistent run of a read's k-mers as bridging evidence, not only the
+    longest — reads broken by a sequencing error or spanning a corrected
+    region still contribute their fragments.  False = longest run only."""
+
     sf_restarts: int = 4
     """Randomized restarts for degenerate sparse-flow ties (paper §;
     SURVEY.md §4.3)."""

@@ -1,19 +1,20 @@
 """Device read threading (reference hot loop #3/#4a — SURVEY.md §4.1):
-map every read to its contig path with batched binary searches + run
-scans, replacing the per-read Python dict walk.
+map every read to its contig-path runs with batched binary searches +
+run scans, replacing the per-read Python dict walk.
 
-Spec (matches oracle thread_read):
+Spec (matches oracle thread_read_runs):
   * window j of a read 'hits' iff its oriented k-mer is an alive node;
   * consecutive hit windows are automatically consistent (an alive
     k-mer's successor within its contig is its unique graph successor),
-    so the read's usable stretch is its LONGEST RUN of hit windows
-    (ties -> earliest);
-  * the path is the sequence of contigs visited within that run
-    (a contig is appended when the run starts or when the window's
-    contig offset is 0, i.e. a boundary crossing; revisits in cycles
-    append again).
+    so a 'run' is a maximal stretch of hit windows;
+  * within a run, a contig is recorded when the run starts or when the
+    window's contig offset is 0 (boundary crossing; cycle revisits
+    record again);
+  * ALL runs are returned (read rescue — the host chooses all-runs or
+    longest-run per config.rescue_reads).
 
-Output: paths [n_reads, W] int32 contig ids, -1 padded; path lengths.
+Outputs (fixed shapes): event contig ids + event run ids [N, W],
+event count [N], and per-run window counts [N, R].
 """
 
 from __future__ import annotations
@@ -35,8 +36,9 @@ def thread_reads_device(
     lengths: jnp.ndarray,  # [N]
     ca: ContigArrays,
     k: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (paths [N, W] int32 cid or -1, path_len [N] int32)."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (ev_cid [N, W], ev_run [N, W], n_events [N],
+    run_windows [N, R])."""
     N, L = codes.shape
     W = L - k + 1
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical=False)
@@ -48,40 +50,60 @@ def thread_reads_device(
     cid = jnp.where(hit, ca.node_cid[idx], -1)
     off = jnp.where(hit, ca.node_off[idx], -1)
 
-    # --- longest run of hits per read (ties -> earliest) ---------------
-    # run id per window: new run starts where hit & (~prev_hit)
     prev_hit = jnp.pad(hit[:, :-1], ((0, 0), (1, 0)), constant_values=False)
     run_start = hit & ~prev_hit
-    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # per read
+    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
     run_id = jnp.where(hit, run_id, -1)
-    # run lengths via scatter-add per (read, run)
-    max_runs = (W + 1) // 2 + 1
-    tgt = jnp.where(hit, jnp.clip(run_id, 0, max_runs - 1), max_runs)
-    run_len = jnp.zeros((N, max_runs + 1), jnp.int32)
-    run_len = run_len.at[
-        jnp.arange(N, dtype=jnp.int32)[:, None].repeat(W, 1), tgt
-    ].add(1)[:, :max_runs]
-    best_run = jnp.argmax(run_len, axis=1).astype(jnp.int32)  # earliest max
-    in_best = hit & (run_id == best_run[:, None])
 
-    # --- contig path within the best run -------------------------------
-    is_event = in_best & (run_start | (off == 0))
+    max_runs = (W + 1) // 2 + 1
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None].repeat(W, 1)
+    tgt_r = jnp.where(hit, jnp.clip(run_id, 0, max_runs - 1), max_runs)
+    run_windows = jnp.zeros((N, max_runs + 1), jnp.int32).at[rows, tgt_r].add(
+        1
+    )[:, :max_runs]
+
+    is_event = hit & (run_start | (off == 0))
     pos = jnp.cumsum(is_event.astype(jnp.int32), axis=1) - 1
     tgt_p = jnp.where(is_event, pos, W)
-    paths = jnp.full((N, W + 1), -1, jnp.int32)
-    paths = paths.at[
-        jnp.arange(N, dtype=jnp.int32)[:, None].repeat(W, 1), tgt_p
-    ].set(cid)[:, :W]
-    path_len = is_event.sum(axis=1).astype(jnp.int32)
-    return paths, path_len
-
-
-def paths_to_lists(paths: np.ndarray, path_len: np.ndarray) -> list[list[int]]:
-    """Host conversion to raw per-read path lists, aligned with the
-    batch rows ([] = unthreadable read); feed to oracle
-    multibridge.expand_paths for pair joining + RC-twin expansion."""
-    paths = np.asarray(paths)
-    path_len = np.asarray(path_len)
-    return [
-        paths[i, : int(path_len[i])].tolist() for i in range(paths.shape[0])
+    ev_cid = jnp.full((N, W + 1), -1, jnp.int32).at[rows, tgt_p].set(cid)[:, :W]
+    ev_run = jnp.full((N, W + 1), -1, jnp.int32).at[rows, tgt_p].set(run_id)[
+        :, :W
     ]
+    n_events = is_event.sum(axis=1).astype(jnp.int32)
+    return ev_cid, ev_run, n_events, run_windows
+
+
+def paths_to_lists(
+    ev_cid: np.ndarray,
+    ev_run: np.ndarray,
+    n_events: np.ndarray,
+    run_windows: np.ndarray,
+    rescue: bool = True,
+) -> list[list[list[int]]]:
+    """Host conversion to per-read run lists (aligned with batch rows;
+    [] = unthreadable read): [[run0_path, run1_path, ...], ...].
+    rescue=False keeps only each read's longest run (by window count,
+    ties -> earliest)."""
+    ev_cid = np.asarray(ev_cid)
+    ev_run = np.asarray(ev_run)
+    n_events = np.asarray(n_events)
+    run_windows = np.asarray(run_windows)
+    out: list[list[list[int]]] = []
+    for i in range(ev_cid.shape[0]):
+        n = int(n_events[i])
+        if n == 0:
+            out.append([])
+            continue
+        cids = ev_cid[i, :n]
+        rids = ev_run[i, :n]
+        # split events into runs at run-id changes
+        cuts = np.nonzero(np.diff(rids))[0] + 1
+        paths = [seg.tolist() for seg in np.split(cids, cuts)]
+        if rescue:
+            out.append(paths)
+        else:
+            run_ids = [int(rids[0])] + [int(rids[c]) for c in cuts]
+            w = run_windows[i]
+            best = max(range(len(paths)), key=lambda t: (w[run_ids[t]], -t))
+            out.append([paths[best]])
+    return out

@@ -47,38 +47,35 @@ from shannon_tpu.oracle.nodegraph import NodeGraph
 import numpy as np
 
 
-def thread_read(
+def thread_read_runs(
     codes: np.ndarray,
     k: int,
     contig_of_kmer: dict[int, tuple[int, int]],
     graph: ContigGraph,
-) -> list[int]:
-    """Map one read (code array) to a contig path per the threading spec.
+) -> list[tuple[list[int], int]]:
+    """Map one read to its consistent runs: [(contig path, #windows)],
+    in read order.
 
-    Returns the contig-id path of the longest geometrically consistent
-    run (ties: the earliest run).
+    A run is a maximal stretch of consecutive windows whose k-mers are
+    alive.  Note: consecutive alive windows are automatically
+    geometrically consistent (an alive k-mer's in-contig successor is
+    its unique graph successor), so no adjacency re-checks are needed —
+    the device threading kernel relies on the same fact.
     """
     kmers = _seq_kmers(codes, k)
     if len(kmers) == 0:
         return []
     hits = [contig_of_kmer.get(int(v)) for v in kmers]
 
-    # "Run length" is counted in WINDOWS (not contigs visited): the
-    # longest consistent stretch of the read.  Ties -> earliest run.
-    # Note: consecutive windows that are both alive are automatically
-    # geometrically consistent (an alive k-mer's in-contig successor is
-    # its unique graph successor), so runs are simply maximal stretches
-    # of present k-mers — the device threading kernel relies on this.
-    best: list[int] = []
-    best_w = 0
+    runs: list[tuple[list[int], int]] = []
     cur: list[int] = []
     cur_w = 0
     prev: tuple[int, int] | None = None
 
     def flush() -> None:
-        nonlocal best, best_w, cur, cur_w
-        if cur_w > best_w:
-            best, best_w = cur, cur_w
+        nonlocal cur, cur_w
+        if cur_w:
+            runs.append((cur, cur_w))
         cur, cur_w = [], 0
 
     for h in hits:
@@ -91,22 +88,28 @@ def thread_read(
             cur = [cid]
             cur_w = 1
         else:
-            pcid, poff = prev
             cur_w += 1
-            if cid == pcid and off == poff + 1:
-                pass  # advancing inside the same contig
-            elif (
-                off == 0
-                and poff == len(graph.contigs[pcid].kmers) - 1
-                and cid in graph.out_edges[pcid]
-            ):
-                cur.append(cid)  # crossing a contig boundary along an edge
-            else:  # unreachable when both k-mers are alive (see note)
-                flush()
-                cur = [cid]
-                cur_w = 1
+            if off == 0:
+                cur.append(cid)  # crossing a contig boundary
         prev = (cid, off)
     flush()
+    return runs
+
+
+def thread_read(
+    codes: np.ndarray,
+    k: int,
+    contig_of_kmer: dict[int, tuple[int, int]],
+    graph: ContigGraph,
+) -> list[int]:
+    """Longest-run contig path (ties -> earliest run); the
+    rescue_reads=False threading mode."""
+    runs = thread_read_runs(codes, k, contig_of_kmer, graph)
+    best: list[int] = []
+    best_w = 0
+    for path, w in runs:
+        if w > best_w:
+            best, best_w = path, w
     return best
 
 
@@ -133,16 +136,22 @@ def join_pair_paths(
 
 
 def expand_paths(
-    raw_paths: list[list[int]],
+    raw_runs: list[list[list[int]]],
     graph: ContigGraph,
     config: AssemblyConfig,
     paired: bool = False,
 ) -> list[list[int]]:
-    """Raw per-read paths (aligned with reads; [] = unthreadable) ->
-    evidence path list: paired mates joined where possible, and in
-    canonical mode each path's RC twin added so both orientation copies
-    of the graph receive identical evidence.  Shared by the oracle and
-    device threading backends."""
+    """Per-read run lists (aligned with reads; [] = unthreadable) ->
+    evidence path list:
+
+      * every run is evidence (read rescue);
+      * for pairs, the facing ends (last run of mate 1, first run of
+        mate 2 — both already transcript-oriented) are joined where
+        possible, bridging repeats longer than a read;
+      * in canonical mode each path's RC twin is added so both
+        orientation copies of the graph receive identical evidence.
+
+    Shared by the oracle and device threading backends."""
     out: list[list[int]] = []
 
     def emit(p: list[int]) -> None:
@@ -152,19 +161,28 @@ def expand_paths(
         if not config.strand_specific:
             out.append([graph.rc_pair[c] for c in reversed(p)])
 
-    if paired and config.use_pairs:
-        for i in range(0, len(raw_paths) - 1, 2):
-            joined = join_pair_paths(raw_paths[i], raw_paths[i + 1], graph)
-            if joined is not None:
-                emit(joined)
-            else:
-                emit(raw_paths[i])
-                emit(raw_paths[i + 1])
-        if len(raw_paths) % 2:
-            emit(raw_paths[-1])
-    else:
-        for p in raw_paths:
+    def emit_all(runs: list[list[int]]) -> None:
+        for p in runs:
             emit(p)
+
+    if paired and config.use_pairs:
+        for i in range(0, len(raw_runs) - 1, 2):
+            rl, rr = raw_runs[i], raw_runs[i + 1]
+            joined = (
+                join_pair_paths(rl[-1], rr[0], graph) if rl and rr else None
+            )
+            if joined is not None:
+                emit_all(rl[:-1])
+                emit(joined)
+                emit_all(rr[1:])
+            else:
+                emit_all(rl)
+                emit_all(rr)
+        if len(raw_runs) % 2:
+            emit_all(raw_runs[-1])
+    else:
+        for runs in raw_runs:
+            emit_all(runs)
     return out
 
 
@@ -174,13 +192,21 @@ def thread_reads(
     config: AssemblyConfig,
     paired: bool = False,
 ) -> list[list[int]]:
-    """Thread every read and expand to evidence paths (pair joining +
-    RC twins per expand_paths)."""
+    """Thread every read and expand to evidence paths (rescue + pair
+    joining + RC twins per expand_paths)."""
     contig_of_kmer = graph._contig_of_kmer  # type: ignore[attr-defined]
-    raw = [
-        thread_read(codes, config.k, contig_of_kmer, graph)
-        for codes in read_codes
-    ]
+    raw: list[list[list[int]]] = []
+    for codes in read_codes:
+        runs = thread_read_runs(codes, config.k, contig_of_kmer, graph)
+        if not config.rescue_reads:
+            best: list[int] = []
+            best_w = 0
+            for path, w in runs:
+                if w > best_w:
+                    best, best_w = path, w
+            raw.append([best] if best else [])
+        else:
+            raw.append([path for path, _w in runs])
     return expand_paths(raw, graph, config, paired)
 
 

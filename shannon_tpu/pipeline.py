@@ -88,10 +88,12 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
 
-    paths, plen = thread_reads_device(
+    ev_cid, ev_run, n_events, run_w = thread_reads_device(
         jnp.asarray(batch.codes), jnp.asarray(batch.lengths), ca, config.k
     )
-    raw = paths_to_lists(np.asarray(paths), np.asarray(plen))
+    raw = paths_to_lists(
+        ev_cid, ev_run, n_events, run_w, rescue=config.rescue_reads
+    )
     return expand_paths(raw, cgraph, config, paired=batch.paired)
 
 
@@ -219,17 +221,43 @@ def run_pipeline(
         timer.note("ingest", skipped=True, n_reads=batch.n_reads)
     else:
         with timer.stage("ingest"):
+            from shannon_tpu.io.dna import BASE_INVALID
+            from shannon_tpu.native import pack_file
+
             if single is not None:
-                seqs = [s for _, s in read_fastx(single)]
-                paired = False
+                batch = pack_file(single, pad_length=config.read_pad_length)
             elif left is not None and right is not None:
-                seqs = normalize_mate2(
-                    [s for _, s in interleave_pairs(left, right)]
-                )
-                paired = True
+                bl = pack_file(left, pad_length=config.read_pad_length)
+                br = pack_file(right, pad_length=config.read_pad_length)
+                if bl.n_reads != br.n_reads:
+                    raise ValueError(
+                        f"paired inputs differ in length: {bl.n_reads} vs "
+                        f"{br.n_reads}"
+                    )
+                # interleave rows [L0, R0, ...] and normalize mate 2 to
+                # transcript orientation (revcomp in code space)
+                n = bl.n_reads
+                codes = np.empty((2 * n, config.read_pad_length), np.uint8)
+                lengths = np.empty(2 * n, np.int32)
+                codes[0::2] = bl.codes
+                lengths[0::2] = bl.lengths
+                # vectorized ragged reverse-complement: full-row reverse,
+                # then rotate each row left by (pad - length) to slide
+                # the reversed bases back to the front
+                pad = config.read_pad_length
+                rev = br.codes[:, ::-1]
+                cols = (
+                    np.arange(pad, dtype=np.int64)[None, :]
+                    + (pad - br.lengths.astype(np.int64))[:, None]
+                ) % pad
+                rc = np.take_along_axis(rev, cols, axis=1)
+                valid = rc < 4
+                rc = np.where(valid, 3 - rc, BASE_INVALID).astype(np.uint8)
+                codes[1::2] = rc
+                lengths[1::2] = br.lengths
+                batch = ReadBatch(codes=codes, lengths=lengths, paired=True)
             else:
                 raise ValueError("provide --single or --left/--right")
-            batch = pack_reads(seqs, pad_length=config.read_pad_length, paired=paired)
             np.savez_compressed(
                 reads_npz,
                 codes=batch.codes,

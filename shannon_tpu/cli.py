@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["device", "oracle"], default="device",
                    help="'oracle' = pure-Python reference-semantics path")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-output-abundance", type=float, default=1.5)
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace to OUT/profile "
+                   "(open with TensorBoard / xprof)")
     return p
 
 
@@ -66,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         strand_specific=args.strand_specific,
         sibling_ratio=args.sibling_ratio,
         min_transcript_length=args.min_transcript_length,
+        min_output_abundance=args.min_output_abundance,
         kmer_capacity=args.kmer_capacity,
         read_pad_length=args.read_pad_length,
         out_dir=args.out_dir,
@@ -78,14 +83,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.backend == "device":
         enable_compilation_cache()
+        from shannon_tpu.parallel.multihost import init_distributed
 
-    result = run_pipeline(
-        config,
-        single=args.single,
-        left=args.left,
-        right=args.right,
-        backend=args.backend,
-    )
+        init_distributed()
+
+    profiler_cm = None
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profiler_cm = jax.profiler.trace(f"{args.out_dir}/profile")
+        profiler_cm.__enter__()
+
+    try:
+        result = run_pipeline(
+            config,
+            single=args.single,
+            left=args.left,
+            right=args.right,
+            backend=args.backend,
+        )
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
     print(
         f"done: {len(result.transcripts)} transcripts -> "
         f"{config.out_dir}/transcripts.fasta"

@@ -62,6 +62,12 @@ class AssemblyConfig:
     filter_trans behavior, SURVEY.md §3.1; 200bp is the standard
     transcriptome threshold)."""
 
+    min_output_abundance: float = 1.5
+    """Final transcripts whose abundance estimate (min node abundance
+    along the path) is below this are dropped: paths supported by a
+    single read are error-island junk, not expression.  float32
+    comparison.  0 disables."""
+
     use_pairs: bool = True
     """Use paired-end mates + insert-size constraints in multibridging."""
 

@@ -54,7 +54,10 @@ class ContigArrays:
     abundance: jnp.ndarray  # [C2] float32 mean member count
     head_lane: jnp.ndarray  # [C2] int32 node lane of first k-mer
     tail_lane: jnp.ndarray  # [C2] int32 node lane of last k-mer
-    out_edges: jnp.ndarray  # [C2, 4] int32 successor cid or -1
+    out_edges: jnp.ndarray  # [4, C2] int32 successor cid or -1 (base-first
+    # layout: TPU tiling pads the minor dim to 128, so [C2, 4] would
+    # waste 32x)
+    rc_pair: jnp.ndarray  # [C2] int32 reverse-complement twin cid
     n_nodes: jnp.ndarray  # [] int32
     n_contigs: jnp.ndarray  # [] int32
 
@@ -62,7 +65,8 @@ class ContigArrays:
         return (
             self.node_hi, self.node_lo, self.node_count, self.node_cid,
             self.node_off, self.klen, self.abundance, self.head_lane,
-            self.tail_lane, self.out_edges, self.n_nodes, self.n_contigs,
+            self.tail_lane, self.out_edges, self.rc_pair, self.n_nodes,
+            self.n_contigs,
         ), None
 
     @classmethod
@@ -72,8 +76,14 @@ class ContigArrays:
 
 def _probe_neighbors(thi, tlo, k, direction):
     """For each table entry, lower-bound indices + hit masks of its 4
-    oriented extensions.  direction: 'succ' (suffix·b) or 'pred'
-    (b·prefix)."""
+    oriented extensions, shaped [4, C2].  direction: 'succ' (suffix·b)
+    or 'pred' (b·prefix).
+
+    Layout note: the base axis is FIRST.  TPU tiling pads the minor
+    dimension to 128 lanes, so an [C2, 4] array would carry a 32x
+    padding blowup (measured: a single [4, 8.4M, 4] temp ballooned to
+    16GB and OOMed compilation); [4, C2] pads only 2x on the sublane
+    axis."""
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
     lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
     hs = 2 * (k - 1)
@@ -92,8 +102,8 @@ def _probe_neighbors(thi, tlo, k, direction):
                 ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
             phs.append(lh)
             pls.append(ll)
-    qh = jnp.stack(phs, axis=-1)  # [C2, 4]
-    ql = jnp.stack(pls, axis=-1)
+    qh = jnp.stack(phs, axis=0)  # [4, C2]
+    ql = jnp.stack(pls, axis=0)
     idx, hit = lower_bound_hilo(thi, tlo, qh.reshape(-1), ql.reshape(-1))
     return idx.reshape(qh.shape), hit.reshape(qh.shape)
 
@@ -105,6 +115,8 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
 
     # ---- 1. oriented node table --------------------------------------
     if canonical:
+        from shannon_tpu.ops.count import unique_first_sorted
+
         rhi, rlo = revcomp_hilo(spec.hi, spec.lo, k)
         rhi = jnp.where(pad, SENTINEL, rhi)
         rlo = jnp.where(pad, SENTINEL, rlo)
@@ -112,24 +124,12 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
         tlo = jnp.concatenate([spec.lo, rlo])
         tcnt = jnp.concatenate([spec.count, spec.count])
         thi, tlo, tcnt = jax.lax.sort((thi, tlo, tcnt), num_keys=2)
-        # dedupe palindromes: max-reduce consecutive equal keys
+        # dedupe palindromes (duplicate keys carry identical counts, so
+        # first-of-run == max-of-run); scatter-free compaction
         C2 = 2 * C
-        same_prev = jnp.zeros(C2, bool).at[1:].set(
-            (thi[1:] == thi[:-1]) & (tlo[1:] == tlo[:-1])
+        node_hi, node_lo, (node_count,), n_nodes = unique_first_sorted(
+            thi, tlo, (tcnt,), C2
         )
-        is_start = ~same_prev & ~((thi == SENTINEL) & (tlo == SENTINEL))
-        run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-        tgt = jnp.where(is_start, run_id, C2)
-        nhi = jnp.full(C2 + 1, SENTINEL, jnp.uint32).at[tgt].set(thi)
-        nlo = jnp.full(C2 + 1, SENTINEL, jnp.uint32).at[tgt].set(tlo)
-        ncnt = (
-            jnp.zeros(C2 + 1, jnp.int32)
-            .at[jnp.where(is_start | same_prev, run_id, C2)]
-            .max(tcnt)
-        )
-        node_hi, node_lo = nhi[:C2], nlo[:C2]
-        node_count = jnp.where(node_hi == SENTINEL, 0, ncnt[:C2])
-        n_nodes = is_start.sum(dtype=jnp.int32)
     else:
         C2 = C
         node_hi, node_lo, node_count = spec.hi, spec.lo, spec.count
@@ -137,15 +137,15 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
 
     real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
 
-    # ---- 2. degrees + mergeable links --------------------------------
+    # ---- 2. degrees + mergeable links (probe arrays are [4, C2]) -----
     s_idx, s_hit = _probe_neighbors(node_hi, node_lo, k, "succ")
     p_idx, p_hit = _probe_neighbors(node_hi, node_lo, k, "pred")
-    s_hit = s_hit & real[:, None]
-    p_hit = p_hit & real[:, None]
-    outdeg = s_hit.sum(axis=1)
-    indeg = p_hit.sum(axis=1)
-    succ1 = jnp.where(s_hit, s_idx, 0).sum(axis=1)  # valid when outdeg==1
-    pred1 = jnp.where(p_hit, p_idx, 0).sum(axis=1)
+    s_hit = s_hit & real[None, :]
+    p_hit = p_hit & real[None, :]
+    outdeg = s_hit.sum(axis=0)
+    indeg = p_hit.sum(axis=0)
+    succ1 = jnp.where(s_hit, s_idx, 0).sum(axis=0)  # valid when outdeg==1
+    pred1 = jnp.where(p_hit, p_idx, 0).sum(axis=0)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     next_link = jnp.where(
@@ -196,30 +196,79 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
     node_cid = jnp.where(real, cid_of_lane[head], -1)
 
     # ---- per-contig reductions ---------------------------------------
-    tgt_c = jnp.where(real, node_cid, C2)
-    klen = jnp.zeros(C2 + 1, jnp.int32).at[tgt_c].add(1)[:C2]
-    csum = jnp.zeros(C2 + 1, jnp.int32).at[tgt_c].add(node_count)[:C2]
+    # Sort nodes by (cid, offset); run i of the sorted order IS contig i
+    # (cids are dense head ranks).  Per-run head/tail/klen/count-sum are
+    # then extracted with two compaction SORTS (run starts to the front,
+    # run ends to the front) — sorts beat scatters/gathers by ~10-60x on
+    # this hardware (see ops/count._unique_reduce).
+    BIG = jnp.int32(0x7FFFFFFF)
+    key_cid = jnp.where(real, node_cid, BIG)
+    s_cid, s_off, s_lane, s_cnt = jax.lax.sort(
+        (key_cid, jnp.where(real, dist, 0), iota, node_count), num_keys=2
+    )
+    prev_diff = jnp.ones(C2, bool).at[1:].set(s_cid[1:] != s_cid[:-1])
+    next_diff = jnp.ones(C2, bool).at[:-1].set(s_cid[1:] != s_cid[:-1])
+    # pad lanes form their own run, clamping the last real run's end
+    s_real = s_cid != BIG
+    r_start = prev_diff
+    r_end = next_diff
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (C2, 1), 0)[:, 0]
+    ccb = jnp.cumsum(s_cnt.astype(jnp.int32)) - s_cnt  # counts before lane
+
+    MSB = jnp.uint32(0x80000000)
+    skey_s = jnp.where(r_start & s_real, pos, pos | MSB)
+    _, h_lane, h_pos, h_cb = jax.lax.sort(
+        (skey_s, s_lane, pos.astype(jnp.int32), ccb), num_keys=1
+    )
+    skey_e = jnp.where(r_end & s_real, pos, pos | MSB)
+    _, e_lane_c, e_pos, e_ce = jax.lax.sort(
+        (
+            skey_e,
+            s_lane,
+            pos.astype(jnp.int32),
+            ccb + s_cnt,  # counts through lane (inclusive)
+        ),
+        num_keys=1,
+    )
+    valid_c = jnp.arange(C2, dtype=jnp.int32) < n_contigs
+    head_lane = jnp.where(valid_c, h_lane, -1)
+    tail_lane = jnp.where(valid_c, e_lane_c, -1)
+    klen = jnp.where(valid_c, e_pos - h_pos + 1, 0)
+    csum = jnp.where(valid_c, e_ce - h_cb, 0)
     abundance = jnp.where(
         klen > 0, csum.astype(jnp.float32) / klen.astype(jnp.float32), 0.0
     )
-    head_lane = (
-        jnp.full(C2 + 1, -1, jnp.int32)
-        .at[jnp.where(is_head, node_cid, C2)]
-        .set(iota)[:C2]
-    )
-    tail_lane = (
-        jnp.full(C2 + 1, -1, jnp.int32)
-        .at[jnp.where(is_tail, node_cid, C2)]
-        .set(iota)[:C2]
-    )
 
-    # ---- 5. contig edges from tail probes ----------------------------
+    # ---- 5. contig edges from tail probes (edges are [4, C2]) --------
     tl = jnp.clip(tail_lane, 0, C2 - 1)
-    t_sidx = s_idx[tl]  # [C2, 4]
-    t_shit = s_hit[tl] & (tail_lane >= 0)[:, None]
+    t_sidx = s_idx[:, tl]  # [4, C2]
+    t_shit = s_hit[:, tl] & (tail_lane >= 0)[None, :]
     out_edges = jnp.where(
         t_shit, node_cid[jnp.clip(t_sidx, 0, C2 - 1)], -1
     )
+
+    # ---- 6. reverse-complement twin: the contig whose first k-mer is
+    # revcomp(this contig's last k-mer) (canonical mode; self in
+    # strand-specific / palindromic cases)
+    cid_iota32 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
+    if canonical:
+        from shannon_tpu.ops.spectrum import lower_bound_hilo as _lb
+
+        t_hi = node_hi[tl]
+        t_lo = node_lo[tl]
+        rc_h, rc_l = revcomp_hilo(t_hi, t_lo, k)
+        rc_idx, rc_hit = _lb(node_hi, node_lo, rc_h, rc_l)
+        # the rc k-mer must be a contig HEAD (offset 0): in a broken
+        # cycle the rc of a tail k-mer can land mid-contig, where no
+        # aligned rc twin exists (oracle falls back to self there)
+        rc_is_head = dist[jnp.clip(rc_idx, 0, C2 - 1)] == 0
+        rc_pair = jnp.where(
+            (tail_lane >= 0) & rc_hit & rc_is_head,
+            node_cid[rc_idx],
+            cid_iota32,
+        )
+    else:
+        rc_pair = cid_iota32
 
     return ContigArrays(
         node_hi=node_hi,
@@ -232,6 +281,7 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
         head_lane=head_lane,
         tail_lane=tail_lane,
         out_edges=out_edges,
+        rc_pair=rc_pair,
         n_nodes=n_nodes,
         n_contigs=n_contigs,
     )
@@ -278,34 +328,47 @@ def contig_sequences(ca: ContigArrays, k: int) -> list[str]:
     ]
 
 
-def to_contig_graph(ca: ContigArrays, k: int, config) -> "ContigGraph":
-    """Materialize the oracle-format ContigGraph (sequences, edges,
-    kmer->(cid, off) map, rc pairing) from device arrays, so the host
-    assembly stages (threading/MB/SF) run unchanged."""
+def to_contig_graph(
+    ca: ContigArrays, k: int, config, with_kmers: bool = False
+) -> "ContigGraph":
+    """Materialize the oracle-format ContigGraph (sequences, edges, rc
+    pairing) from device arrays, so the host assembly stages (MB/SF)
+    run unchanged.  with_kmers additionally builds per-contig k-mer
+    lists and the kmer->(cid, off) dict (only needed by the oracle
+    threading path and parity tests — it is a Python-scale loop over
+    every node, so the device pipeline skips it)."""
     from shannon_tpu.oracle.graph import Contig, ContigGraph
 
     n_contigs = int(ca.n_contigs)
     seqs = contig_sequences(ca, k)
     abund = np.asarray(ca.abundance[:n_contigs], dtype=np.float64)
-    node_cid = np.asarray(ca.node_cid)
-    node_off = np.asarray(ca.node_off)
-    node_hi = np.asarray(ca.node_hi, dtype=np.uint64)
-    node_lo = np.asarray(ca.node_lo, dtype=np.uint64)
-    real = node_cid >= 0
-    vals = ((node_hi << np.uint64(32)) | node_lo)[real]
-    cids = node_cid[real]
-    offs = node_off[real]
+    klens = np.asarray(ca.klen[:n_contigs])
 
-    kmer_lists: list[list[int]] = [
-        [0] * int(l) for l in np.asarray(ca.klen[:n_contigs])
-    ]
-    for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist()):
-        kmer_lists[c][o] = v
+    if with_kmers:
+        node_cid = np.asarray(ca.node_cid)
+        node_off = np.asarray(ca.node_off)
+        node_hi = np.asarray(ca.node_hi, dtype=np.uint64)
+        node_lo = np.asarray(ca.node_lo, dtype=np.uint64)
+        real = node_cid >= 0
+        vals = ((node_hi << np.uint64(32)) | node_lo)[real]
+        cids = node_cid[real]
+        offs = node_off[real]
+        kmer_lists: list[list[int]] = [[0] * int(l) for l in klens]
+        for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist()):
+            kmer_lists[c][o] = v
+    else:
+        kmer_lists = [[] for _ in range(n_contigs)]
+
     contigs = [
-        Contig(kmers=kmer_lists[i], seq=seqs[i], abundance=float(np.float32(abund[i])))
+        Contig(
+            kmers=kmer_lists[i], seq=seqs[i],
+            abundance=float(np.float32(abund[i])),
+        )
         for i in range(n_contigs)
     ]
-    out_edges_arr = np.asarray(ca.out_edges[:n_contigs])
+    # patch klen-dependent uses: Contig.kmers may be empty, so NodeGraph
+    # construction reads klen from the arrays via a parallel list
+    out_edges_arr = np.asarray(ca.out_edges[:, :n_contigs]).T  # [n, 4]
     out_edges = [sorted({int(x) for x in row if x >= 0}) for row in out_edges_arr]
     in_edges: list[list[int]] = [[] for _ in range(n_contigs)]
     for u, row in enumerate(out_edges):
@@ -314,14 +377,7 @@ def to_contig_graph(ca: ContigArrays, k: int, config) -> "ContigGraph":
     for row in in_edges:
         row.sort()
 
-    rc_pair = list(range(n_contigs))
-    if not config.strand_specific:
-        first_kmer_to_cid = {kl[0]: i for i, kl in enumerate(kmer_lists) if kl}
-        from shannon_tpu.oracle.counting import revcomp_kmer
-
-        for cid, kl in enumerate(kmer_lists):
-            rc_first = revcomp_kmer(kl[-1], k)
-            rc_pair[cid] = first_kmer_to_cid.get(rc_first, cid)
+    rc_pair = [int(x) for x in np.asarray(ca.rc_pair[:n_contigs])]
 
     g = ContigGraph(
         k=k,
@@ -330,8 +386,10 @@ def to_contig_graph(ca: ContigArrays, k: int, config) -> "ContigGraph":
         in_edges=in_edges,
         rc_pair=rc_pair,
     )
-    g._contig_of_kmer = {
-        int(v): (int(c), int(o))
-        for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist())
-    }  # type: ignore[attr-defined]
+    g._klen = klens.tolist()  # type: ignore[attr-defined]
+    if with_kmers:
+        g._contig_of_kmer = {
+            int(v): (int(c), int(o))
+            for v, c, o in zip(vals.tolist(), cids.tolist(), offs.tolist())
+        }  # type: ignore[attr-defined]
     return g

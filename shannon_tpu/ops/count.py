@@ -66,30 +66,79 @@ def _sort3(hi, lo, cnt):
     return jax.lax.sort((hi, lo, cnt), num_keys=2)
 
 
-def _unique_reduce(hi: jnp.ndarray, lo: jnp.ndarray, cnt: jnp.ndarray, capacity: int) -> Spectrum:
-    """From lexicographically sorted (hi, lo) with per-lane counts
-    (SENTINEL lanes last), build the compacted unique spectrum."""
+def unique_first_sorted(
+    hi: jnp.ndarray, lo: jnp.ndarray, payloads: tuple, capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray, tuple, jnp.ndarray]:
+    """Scatter-free dedupe of a sorted two-word key sequence: compact
+    the first lane of every distinct key (SENTINEL pads last) to the
+    front, gathering each payload at that lane.  Returns
+    (hi[capacity], lo[capacity], payloads at first lanes, n_unique).
+    Used where duplicate keys carry identical payloads (e.g. the
+    oriented node table's palindrome dedupe in ops/condense.py)."""
     m = hi.shape[0]
     real = ~((hi == SENTINEL) & (lo == SENTINEL))
     prev_differs = jnp.ones(m, dtype=bool).at[1:].set(
         (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
     )
     is_start = real & prev_differs
-    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # [m], -1 before first
-    n_unique = jnp.where(real.any(), run_id[-1] + 1, 0)
-    tgt = jnp.where(real, run_id, capacity)  # dump padding past the end
-    out_cnt = jnp.zeros(capacity + 1, dtype=jnp.int32).at[tgt].add(cnt)
-    out_hi = jnp.full(capacity + 1, SENTINEL, dtype=jnp.uint32)
-    out_lo = jnp.full(capacity + 1, SENTINEL, dtype=jnp.uint32)
-    start_tgt = jnp.where(is_start, run_id, capacity)
-    out_hi = out_hi.at[start_tgt].set(hi, mode="drop")
-    out_lo = out_lo.at[start_tgt].set(lo, mode="drop")
-    cnt_final = jnp.where(out_hi[:capacity] == SENTINEL, 0, out_cnt[:capacity])
+    ranks = jnp.cumsum(is_start.astype(jnp.int32))
+    n_unique = ranks[-1]
+    want = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    src = jnp.minimum(jnp.searchsorted(ranks, want).astype(jnp.int32), m - 1)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < n_unique
+    out_hi = jnp.where(valid, hi[src], SENTINEL)
+    out_lo = jnp.where(valid, lo[src], SENTINEL)
+    out_payloads = tuple(
+        jnp.where(valid, p[src], jnp.zeros((), p.dtype)) for p in payloads
+    )
+    return out_hi, out_lo, out_payloads, n_unique
+
+
+def _unique_reduce(hi: jnp.ndarray, lo: jnp.ndarray, cnt: jnp.ndarray, capacity: int) -> Spectrum:
+    """From lexicographically sorted (hi, lo) with per-lane counts
+    (SENTINEL lanes last), build the compacted unique spectrum.
+
+    Compaction is a second SORT, not a scatter or gather: on this
+    hardware the XLA sort runs at ~13ms for 7M two-word lanes while an
+    equivalent scatter costs ~120ms and searchsorted-style gather loops
+    ~770ms (measured).  Run-start lanes get key = their position, other
+    lanes key = position | MSB, so one single-key sort moves the unique
+    entries to the front in order; per-run counts are differences of
+    the count prefix-sum carried through the same sort."""
+    m = hi.shape[0]
+    real = ~((hi == SENTINEL) & (lo == SENTINEL))
+    prev_differs = jnp.ones(m, dtype=bool).at[1:].set(
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    )
+    is_start = real & prev_differs
+    n_unique = is_start.sum(dtype=jnp.int32)
+    csum = jnp.cumsum(cnt.astype(jnp.int32))
+    total = csum[-1]
+    csum_before = csum - cnt
+
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (m, 1), 0)[:, 0]
+    skey = jnp.where(is_start, iota, iota | jnp.uint32(0x80000000))
+    _, c_hi, c_lo, c_cb = jax.lax.sort(
+        (skey, hi, lo, csum_before), num_keys=1
+    )
+    # static slices need m >= capacity + 1; counting batches satisfy
+    # this (windows >> capacity is not required — guard with pad)
+    if m < capacity + 1:
+        pad_n = capacity + 1 - m
+        c_hi = jnp.concatenate([c_hi, jnp.full(pad_n, SENTINEL, jnp.uint32)])
+        c_lo = jnp.concatenate([c_lo, jnp.full(pad_n, SENTINEL, jnp.uint32)])
+        c_cb = jnp.concatenate([c_cb, jnp.zeros(pad_n, jnp.int32)])
+    idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    valid = idx < n_unique
+    out_hi = jnp.where(valid, c_hi[:capacity], SENTINEL)
+    out_lo = jnp.where(valid, c_lo[:capacity], SENTINEL)
+    nxt = jnp.where(idx + 1 < n_unique, c_cb[1 : capacity + 1], total)
+    out_cnt = jnp.where(valid, nxt - c_cb[:capacity], 0)
     return Spectrum(
-        hi=out_hi[:capacity],
-        lo=out_lo[:capacity],
-        count=cnt_final,
-        n=n_unique.astype(jnp.int32),
+        hi=out_hi,
+        lo=out_lo,
+        count=out_cnt,
+        n=n_unique,
     )
 
 

@@ -26,13 +26,13 @@ from shannon_tpu.ops.condense import ContigArrays
 def connected_components(ca: ContigArrays) -> jnp.ndarray:
     """Component label per contig lane: the minimum contig id reachable
     (undirected).  -1 on non-contig lanes."""
-    C2 = ca.out_edges.shape[0]
+    C2 = ca.out_edges.shape[1]  # edges are [4, C2] base-first
     cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     real = cid_iota < ca.n_contigs
 
-    e_tgt = ca.out_edges
-    e_valid = (e_tgt >= 0) & real[:, None]
-    e_src = jnp.broadcast_to(cid_iota[:, None], e_tgt.shape)
+    e_tgt = ca.out_edges  # [4, C2] base-first layout
+    e_valid = (e_tgt >= 0) & real[None, :]
+    e_src = jnp.broadcast_to(cid_iota[None, :], e_tgt.shape)
     src_f = jnp.where(e_valid, e_src, C2).reshape(-1)
     tgt_f = jnp.where(e_valid, e_tgt, C2).reshape(-1)
 

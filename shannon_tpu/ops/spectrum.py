@@ -77,8 +77,9 @@ def neighbor_counts(
     plus the max counts of its right-sibling group (prefix_{k-1}(x)·b)
     and left-sibling group (b·suffix_{k-1}(x)).
 
-    Returns (right_ext [C,4], left_ext [C,4], right_sib_max [C],
-    left_sib_max [C]).  SENTINEL lanes return zeros.
+    Returns (right_ext [4,C], left_ext [4,C], right_sib_max [C],
+    left_sib_max [C]) — base axis first (TPU layout; minor dims pad to
+    128 lanes).  SENTINEL lanes return zeros.
     """
     hi, lo = spec.hi, spec.lo
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
@@ -117,20 +118,20 @@ def neighbor_counts(
             lsl = sl | (bb << hs)
         probes_h.append(lsh)
         probes_l.append(lsl)
-    ph = jnp.stack(probes_h, axis=-1)  # [C, 16]: (rext, lext, rsib, lsib) x 4
-    pl = jnp.stack(probes_l, axis=-1)
+    ph = jnp.stack(probes_h, axis=0)  # [16, C]: (rext, lext, rsib, lsib) x 4
+    pl = jnp.stack(probes_l, axis=0)
     if canonical:
         ph, pl = canonical_hilo(ph, pl, k)
-    counts = lookup_counts(spec, ph, pl)  # [C, 16]
-    right_ext = counts[:, 0::4]
-    left_ext = counts[:, 1::4]
-    right_sib_max = jnp.max(counts[:, 2::4], axis=-1)
-    left_sib_max = jnp.max(counts[:, 3::4], axis=-1)
+    counts = lookup_counts(spec, ph, pl)  # [16, C]
+    right_ext = counts[0::4]
+    left_ext = counts[1::4]
+    right_sib_max = jnp.max(counts[2::4], axis=0)
+    left_sib_max = jnp.max(counts[3::4], axis=0)
     pad = (hi == SENTINEL) & (lo == SENTINEL)
     z = jnp.int32(0)
     return (
-        jnp.where(pad[:, None], z, right_ext),
-        jnp.where(pad[:, None], z, left_ext),
+        jnp.where(pad[None, :], z, right_ext),
+        jnp.where(pad[None, :], z, left_ext),
         jnp.where(pad, z, right_sib_max),
         jnp.where(pad, z, left_sib_max),
     )

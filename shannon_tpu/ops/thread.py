@@ -51,25 +51,38 @@ def thread_reads_device(
     off = jnp.where(hit, ca.node_off[idx], -1)
 
     prev_hit = jnp.pad(hit[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    next_hit = jnp.pad(hit[:, 1:], ((0, 0), (0, 1)), constant_values=False)
     run_start = hit & ~prev_hit
+    run_end = hit & ~next_hit
     run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
     run_id = jnp.where(hit, run_id, -1)
 
-    max_runs = (W + 1) // 2 + 1
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None].repeat(W, 1)
-    tgt_r = jnp.where(hit, jnp.clip(run_id, 0, max_runs - 1), max_runs)
-    run_windows = jnp.zeros((N, max_runs + 1), jnp.int32).at[rows, tgt_r].add(
-        1
-    )[:, :max_runs]
+    # Per-row compaction via row-wise sorts (scatters are ~10x slower
+    # than sorts on this hardware; see ops/count._unique_reduce).
+    MSB = jnp.uint32(0x80000000)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (N, W), 1)
 
     is_event = hit & (run_start | (off == 0))
-    pos = jnp.cumsum(is_event.astype(jnp.int32), axis=1) - 1
-    tgt_p = jnp.where(is_event, pos, W)
-    ev_cid = jnp.full((N, W + 1), -1, jnp.int32).at[rows, tgt_p].set(cid)[:, :W]
-    ev_run = jnp.full((N, W + 1), -1, jnp.int32).at[rows, tgt_p].set(run_id)[
-        :, :W
-    ]
+    key_ev = jnp.where(is_event, col, col | MSB)
+    _, ev_cid, ev_run = jax.lax.sort(
+        (key_ev, cid, run_id), dimension=-1, num_keys=1
+    )
     n_events = is_event.sum(axis=1).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    ev_cid = jnp.where(idx < n_events[:, None], ev_cid, -1)
+    ev_run = jnp.where(idx < n_events[:, None], ev_run, -1)
+
+    # per-run window counts: compact run starts and run ends per row;
+    # run r spans columns [start_r, end_r] (contiguous hits)
+    max_runs = (W + 1) // 2 + 1
+    key_s = jnp.where(run_start, col, col | MSB)
+    _, s_pos = jax.lax.sort((key_s, idx), dimension=-1, num_keys=1)
+    key_e = jnp.where(run_end, col, col | MSB)
+    _, e_pos = jax.lax.sort((key_e, idx), dimension=-1, num_keys=1)
+    n_runs = run_start.sum(axis=1).astype(jnp.int32)
+    rw = e_pos[:, :max_runs] - s_pos[:, :max_runs] + 1
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (N, max_runs), 1)
+    run_windows = jnp.where(ridx < n_runs[:, None], rw, 0)
     return ev_cid, ev_run, n_events, run_windows
 
 

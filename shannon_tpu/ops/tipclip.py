@@ -1,12 +1,16 @@
 """Device tip clipping (oracle spec: shannon_tpu/oracle/correction.py
-step 3) — remove short dead-end/isolated contigs dominated at their
-attachment junction, then drop their k-mers from the spectrum.
+step 3) — remove short dead-end/isolated/bubble contigs dominated at
+their attachment junction, then drop their k-mers from the spectrum.
 
 The 'max competitor abundance excluding self' at a junction is computed
 with a top-2 scatter-max: m1 = max in-neighbor abundance per target,
 m2 = max over in-neighbors strictly below m1, plus a count of m1
 achievers — then a contig sees m2 only when it is the *unique* maximum.
 All float32, matching the oracle comparison spec.
+
+Layout: all per-edge arrays are [4, C2] (base/slot axis FIRST) — TPU
+tiling pads the minor dim to 128, so [C2, 4] layouts would pad 32x
+(see ops/condense._probe_neighbors).
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ import jax.numpy as jnp
 from shannon_tpu.ops.condense import ContigArrays, build_contig_arrays
 from shannon_tpu.ops.correction import _compact
 from shannon_tpu.ops.count import Spectrum
-from shannon_tpu.ops.kmers import SENTINEL, canonical_hilo
+from shannon_tpu.ops.kmers import SENTINEL
 from shannon_tpu.ops.spectrum import lower_bound_hilo
 
 
@@ -39,9 +43,9 @@ def tip_clip_round(
     cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     contig_real = cid_iota < n_c
 
-    e_tgt = ca.out_edges  # [C2, 4] cid or -1
-    e_valid = (e_tgt >= 0) & contig_real[:, None]
-    e_src = jnp.broadcast_to(cid_iota[:, None], e_tgt.shape)
+    e_tgt = ca.out_edges  # [4, C2] cid or -1
+    e_valid = (e_tgt >= 0) & contig_real[None, :]
+    e_src = jnp.broadcast_to(cid_iota[None, :], e_tgt.shape)
     tgt_safe = jnp.where(e_valid, e_tgt, C2)
     src_safe = jnp.where(e_valid, e_src, C2)
 
@@ -49,7 +53,7 @@ def tip_clip_round(
     ab_src = jnp.where(e_valid, ab[jnp.clip(e_src, 0, C2 - 1)], 0.0)
     ab_tgt = jnp.where(e_valid, ab[jnp.clip(e_tgt, 0, C2 - 1)], 0.0)
 
-    outdeg = e_valid.sum(axis=1)
+    outdeg = e_valid.sum(axis=0)
     indeg = jnp.zeros(C2 + 1, jnp.int32).at[tgt_safe].add(1)[:C2]
 
     # --- top-2 in-neighbor abundance per target ------------------------
@@ -67,7 +71,7 @@ def tip_clip_round(
         m2[jnp.clip(e_tgt, 0, C2 - 1)],
         m1[jnp.clip(e_tgt, 0, C2 - 1)],
     )
-    comp_right = jnp.where(e_valid, comp_edge_r, 0.0).max(axis=1)
+    comp_right = jnp.where(e_valid, comp_edge_r, 0.0).max(axis=0)
 
     # --- top-2 out-neighbor abundance per source (mirror) --------------
     w1 = jnp.zeros(C2 + 1, jnp.float32).at[src_safe].max(ab_tgt)[:C2]
@@ -88,6 +92,34 @@ def tip_clip_round(
         jnp.where(e_valid, comp_edge_l, 0.0)
     )[:C2]
 
+    # --- bubble rule: u -> c -> w dominated by a parallel u -> x -> w --
+    # single in-neighbor (valid when indeg == 1) via scatter-max
+    in_nb = jnp.full(C2 + 1, -1, jnp.int32).at[tgt_safe].max(
+        jnp.where(e_valid, e_src, -1)
+    )[:C2]
+    out_nb = jnp.where(e_valid, e_tgt, -1).max(axis=0)  # valid when outdeg==1
+    u_safe = jnp.clip(in_nb, 0, C2 - 1)
+    w = out_nb
+    # competitor x: u -> x (slot a) with an edge x -> w (slot b);
+    # 16 static [C2]-vector passes, no [C2, 4, 4] materialization
+    comp_bubble = jnp.zeros(C2, jnp.float32)
+    for a in range(4):
+        xs = e_tgt[a, u_safe]  # [C2] out-neighbor a of u
+        xs_safe = jnp.clip(xs, 0, C2 - 1)
+        x_to_w = jnp.zeros(C2, bool)
+        for b in range(4):
+            x_to_w = x_to_w | (e_tgt[b, xs_safe] == w)
+        x_ok = (
+            (xs >= 0)
+            & (xs != cid_iota)
+            & x_to_w
+            & (in_nb >= 0)
+            & (w >= 0)
+        )
+        comp_bubble = jnp.maximum(
+            comp_bubble, jnp.where(x_ok, ab[xs_safe], 0.0)
+        )
+
     seq_len = ca.klen + k - 1
     short = contig_real & (ca.klen <= tip_klen)
     ratio = sibling_ratio.astype(jnp.float32)
@@ -95,6 +127,7 @@ def tip_clip_round(
         ((indeg == 0) & (outdeg == 0) & (seq_len < min_len))
         | ((indeg == 0) & (outdeg > 0) & (ab < ratio * comp_right))
         | ((outdeg == 0) & (indeg > 0) & (ab < ratio * comp_left))
+        | ((indeg == 1) & (outdeg == 1) & (ab < ratio * comp_bubble))
     )
     n_doomed = doomed_c.sum(dtype=jnp.int32)
 

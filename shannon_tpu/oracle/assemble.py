@@ -108,8 +108,11 @@ def dedupe_and_filter(
     transcripts: list[Transcript], config: AssemblyConfig
 ) -> list[Transcript]:
     best: dict[str, Transcript] = {}
+    min_ab = np.float32(config.min_output_abundance)
     for t in transcripts:
         if len(t.seq) < config.min_transcript_length:
+            continue
+        if np.float32(t.abundance) < min_ab:
             continue
         key = t.canonical()
         prev = best.get(key)

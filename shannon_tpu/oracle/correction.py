@@ -40,8 +40,14 @@ Spec (binding for the TPU pipeline):
          min_transcript_length, or
        * dead on one side, and dominated at its attachment junction:
          abundance(c) < sibling_ratio * max(abundance of competing
-         contigs entering the same neighbors).
-     Re-condense and repeat until fixpoint or correction_rounds.
+         contigs entering the same neighbors), or
+       * a **popped bubble**: indeg == outdeg == 1 with in-neighbor u
+         and out-neighbor w, dominated by a parallel branch:
+         abundance(c) < sibling_ratio * max(abundance of x != c with
+         u -> x -> w).  (A sequencing error mid-read creates a parallel
+         path reconnecting at both ends — invisible to tip rules.)
+     All comparisons in float32.  Re-condense and repeat until fixpoint
+     or correction_rounds.
 """
 
 from __future__ import annotations
@@ -120,6 +126,19 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                     doomed.append(cid)
                 continue
             if has_in and has_out:
+                # bubble rule: parallel branch u -> c -> w dominated by a
+                # sibling branch u -> x -> w
+                if len(g.in_edges[cid]) == 1 and len(g.out_edges[cid]) == 1:
+                    u = g.in_edges[cid][0]
+                    w = g.out_edges[cid][0]
+                    comp = 0.0
+                    for x in g.out_edges[u]:
+                        if x != cid and x in g.in_edges[w]:
+                            comp = max(comp, g.contigs[x].abundance)
+                    if np.float32(c.abundance) < np.float32(
+                        config.sibling_ratio
+                    ) * np.float32(comp):
+                        doomed.append(cid)
                 continue
             # dead on exactly one side: find competitors at the junction
             comp = 0.0

@@ -39,7 +39,7 @@ class NodeGraph:
             Node(
                 seq=c.seq,
                 abundance=c.abundance,
-                klen=len(c.kmers),
+                klen=len(c.seq) - g.k + 1,  # == #member k-mers
                 out=list(g.out_edges[i]),
                 inc=list(g.in_edges[i]),
             )

@@ -141,3 +141,55 @@ def count_spectrum_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(codes, lengths)
+
+
+def count_reads_spectrum_sharded(
+    batch_codes,
+    batch_lengths,
+    k: int,
+    capacity: int,
+    mesh: Mesh,
+    canonical: bool = True,
+    batch_reads: int = 1 << 16,
+) -> tuple[Spectrum, bool]:
+    """Host driver for the sharded path: stream read batches through
+    count_spectrum_sharded, merging replicated results batch-to-batch
+    (mirrors ops.count.count_reads_spectrum for the 1-chip path).
+    Returns (spectrum, overflowed)."""
+    import numpy as np
+
+    from shannon_tpu.ops.count import merge_spectra
+
+    n_dev = mesh.devices.size
+    n = batch_codes.shape[0]
+    total: Spectrum | None = None
+    overflowed = False
+    for s in range(0, n, batch_reads):
+        e = min(s + batch_reads, n)
+        codes = batch_codes[s:e]
+        lengths = batch_lengths[s:e]
+        rows = e - s
+        if rows != batch_reads:
+            tgt = 1 << max(rows - 1, 1).bit_length()
+            tgt = min(max(tgt, 2 * n_dev), batch_reads)
+            if tgt > rows:
+                codes = np.pad(
+                    codes, ((0, tgt - rows), (0, 0)), constant_values=4
+                )
+                lengths = np.pad(lengths, (0, tgt - rows))
+        part, ovf = count_spectrum_sharded(
+            jnp.asarray(codes), jnp.asarray(lengths), k, capacity, mesh,
+            canonical,
+        )
+        overflowed |= bool(ovf)
+        total = part if total is None else merge_spectra(total, part)
+    if total is None:
+        from shannon_tpu.ops.kmers import SENTINEL as _S
+
+        total = Spectrum(
+            hi=jnp.full(capacity, _S, jnp.uint32),
+            lo=jnp.full(capacity, _S, jnp.uint32),
+            count=jnp.zeros(capacity, jnp.int32),
+            n=jnp.int32(0),
+        )
+    return total, overflowed

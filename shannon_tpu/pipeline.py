@@ -21,7 +21,7 @@ import numpy as np
 
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.io.dna import encode_seq
-from shannon_tpu.io.fastx import interleave_pairs, read_fastx, write_fasta
+from shannon_tpu.io.fastx import read_fastx, write_fasta
 from shannon_tpu.io.pack import ReadBatch, pack_reads
 from shannon_tpu.oracle.assemble import (
     AssemblyResult,
@@ -38,23 +38,45 @@ from shannon_tpu.oracle.sparseflow import sparse_flow
 from shannon_tpu.utils.timing import StageTimer
 
 
-def _spectrum_device(batch: ReadBatch, config: AssemblyConfig):
-    """Device path: count + correct + tip-clip on TPU; returns the
-    corrected Spectrum (still on device)."""
+def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True):
+    """Device path: count + correct (+ tip-clip unless clip=False) on
+    TPU; returns the corrected Spectrum (still on device)."""
     from shannon_tpu.ops.correction import correct_spectrum
     from shannon_tpu.ops.count import count_reads_spectrum
     from shannon_tpu.ops.tipclip import clip_tips_spectrum
 
+    import jax
+
     canonical = not config.strand_specific
-    spec = count_reads_spectrum(
-        batch.codes,
-        batch.lengths,
-        k=config.k,
-        capacity=config.kmer_capacity,
-        canonical=canonical,
-        batch_reads=config.batch_reads,
-    )
-    if spec.overflowed():
+    n_dev = config.n_devices or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    if n_dev > 1:
+        from shannon_tpu.parallel.distributed import (
+            count_reads_spectrum_sharded,
+        )
+        from shannon_tpu.parallel.mesh import make_mesh
+
+        spec, overflowed = count_reads_spectrum_sharded(
+            batch.codes,
+            batch.lengths,
+            k=config.k,
+            capacity=config.kmer_capacity,
+            mesh=make_mesh(n_dev),
+            canonical=canonical,
+            batch_reads=config.batch_reads,
+        )
+        overflowed = overflowed or spec.overflowed()
+    else:
+        spec = count_reads_spectrum(
+            batch.codes,
+            batch.lengths,
+            k=config.k,
+            capacity=config.kmer_capacity,
+            canonical=canonical,
+            batch_reads=config.batch_reads,
+        )
+        overflowed = spec.overflowed()
+    if overflowed:
         raise RuntimeError(
             f"kmer_capacity={config.kmer_capacity} overflowed; raise "
             "AssemblyConfig.kmer_capacity"
@@ -67,33 +89,54 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig):
         config.correction_rounds,
         canonical=canonical,
     )
+    if not clip:
+        return spec
     return clip_tips_spectrum(spec, config, canonical=canonical)
 
 
 def _graph_device(batch: ReadBatch, config: AssemblyConfig):
     """Full on-device front half: spectrum + condensation; returns
-    (ContigGraph materialized for the host assembler, alive-kmer dict,
-    device ContigArrays for further device stages)."""
+    (ContigGraph materialized for the host assembler, #alive k-mers,
+    device ContigArrays for further device stages).  The spectrum never
+    round-trips through a Python dict (millions of boxed ints at
+    scale)."""
     from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
 
     spec = _spectrum_device(batch, config)
     ca = build_contig_arrays(spec, config.k, canonical=not config.strand_specific)
-    return to_contig_graph(ca, config.k, config), spec.to_dict(), ca
+    return to_contig_graph(ca, config.k, config), int(spec.n), ca
 
 
 def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
-    """Device read threading (hot loop #3) -> evidence path lists."""
+    """Device read threading (hot loop #3) -> evidence path lists.
+    Streams read batches (static shapes, compile-cache friendly) like
+    the counting driver."""
     import jax.numpy as jnp
 
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
 
-    ev_cid, ev_run, n_events, run_w = thread_reads_device(
-        jnp.asarray(batch.codes), jnp.asarray(batch.lengths), ca, config.k
-    )
-    raw = paths_to_lists(
-        ev_cid, ev_run, n_events, run_w, rescue=config.rescue_reads
-    )
+    n = batch.n_reads
+    bs = config.batch_reads
+    raw: list[list[list[int]]] = []
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        codes = batch.codes[s:e]
+        lengths = batch.lengths[s:e]
+        if e - s != bs:
+            rows = 1 << max(e - s - 1, 1).bit_length()
+            rows = min(max(rows, 16), bs)
+            if rows > e - s:
+                padn = rows - (e - s)
+                codes = np.pad(codes, ((0, padn), (0, 0)), constant_values=4)
+                lengths = np.pad(lengths, (0, padn))
+        ev_cid, ev_run, n_events, run_w = thread_reads_device(
+            jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
+        )
+        part = paths_to_lists(
+            ev_cid, ev_run, n_events, run_w, rescue=config.rescue_reads
+        )
+        raw.extend(part[: e - s])
     return expand_paths(raw, cgraph, config, paired=batch.paired)
 
 
@@ -147,7 +190,7 @@ def assemble(
             batch = pack_reads(
                 reads, pad_length=config.read_pad_length, paired=paired
             )
-            cgraph, alive, ca = _graph_device(batch, config)
+            cgraph, n_alive, ca = _graph_device(batch, config)
         comps = cgraph.components()
         with timer.stage("threading"):
             paths = _thread_device(batch, ca, cgraph, config)
@@ -155,6 +198,7 @@ def assemble(
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
             alive = clip_tips(alive, config)
+            n_alive = len(alive)
         with timer.stage("graph"):
             cgraph = build_contigs(alive, config)
             comps = cgraph.components()
@@ -163,7 +207,6 @@ def assemble(
             paths = thread_reads(read_codes, cgraph, config, paired=paired)
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    n_alive_pre = len(alive)
 
     with timer.stage("assembly"):
         g = NodeGraph.from_contig_graph(cgraph, paths)
@@ -174,8 +217,7 @@ def assemble(
 
     stats = {
         "n_reads": len(reads),
-        "n_kmers_alive": n_alive_pre,
-        "n_kmers_final": len(alive),
+        "n_kmers_final": n_alive,
         "n_contigs": cgraph.n,
         "n_components": len(comps),
         "n_mb_splits": n_mb,
@@ -269,20 +311,49 @@ def run_pipeline(
     spectrum_npz = out / "spectrum.npz"
     if config.resume and spectrum_npz.exists():
         data = np.load(spectrum_npz)
-        alive = {int(k): int(c) for k, c in zip(data["kmers"], data["counts"])}
-        timer.note("spectrum", skipped=True, n_kmers=len(alive))
+        keys = data["kmers"]
+        vals = data["counts"]
+        alive = None
+        timer.note("spectrum", skipped=True, n_kmers=len(keys))
     else:
         with timer.stage("spectrum", n_reads=batch.n_reads):
             if backend == "device":
-                alive = _spectrum_device(batch, config).to_dict()
+                from shannon_tpu.ops.count import spectrum_from_arrays
+                from shannon_tpu.ops.kmers import hilo_to_int
+                from shannon_tpu.ops.tipclip import clip_tips_spectrum
+
+                # intermediate checkpoint between counting+correction and
+                # tip clipping: the expensive count phase is not redone if
+                # a later stage fails or is being iterated on
+                corrected_npz = out / "spectrum_corrected.npz"
+                if config.resume and corrected_npz.exists():
+                    d = np.load(corrected_npz)
+                    spec_dev = spectrum_from_arrays(d["kmers"], d["counts"])
+                else:
+                    spec_dev = _spectrum_device(batch, config, clip=False)
+                    nk0 = int(spec_dev.n)
+                    np.savez_compressed(
+                        corrected_npz,
+                        kmers=hilo_to_int(
+                            spec_dev.hi[:nk0], spec_dev.lo[:nk0]
+                        ),
+                        counts=np.asarray(spec_dev.count[:nk0], np.int64),
+                    )
+                spec_dev = clip_tips_spectrum(
+                    spec_dev, config, canonical=not config.strand_specific
+                )
+                nk = int(spec_dev.n)
+                keys = hilo_to_int(spec_dev.hi[:nk], spec_dev.lo[:nk])
+                vals = np.asarray(spec_dev.count[:nk], dtype=np.int64)
             else:
                 alive = _spectrum_oracle(batch.sequences(), config)
                 alive = clip_tips(alive, config)
-        keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
-        vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
-        order = np.argsort(keys)
-        np.savez_compressed(spectrum_npz, kmers=keys[order], counts=vals[order])
-        timer.note("spectrum", n_kmers=len(alive))
+                keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
+                vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
+                order = np.argsort(keys)
+                keys, vals = keys[order], vals[order]
+        np.savez_compressed(spectrum_npz, kmers=keys, counts=vals)
+        timer.note("spectrum", n_kmers=len(keys))
 
     fasta = out / "transcripts.fasta"
     if config.resume and fasta.exists():
@@ -301,10 +372,7 @@ def run_pipeline(
             from shannon_tpu.ops.count import spectrum_from_arrays
 
             with timer.stage("graph"):
-                keys = np.fromiter(alive.keys(), dtype=np.uint64, count=len(alive))
-                vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
-                order = np.argsort(keys)
-                spec = spectrum_from_arrays(keys[order], vals[order])
+                spec = spectrum_from_arrays(keys, vals)
                 ca = build_contig_arrays(
                     spec, config.k, canonical=not config.strand_specific
                 )
@@ -313,6 +381,10 @@ def run_pipeline(
                 paths = _thread_device(batch, ca, cgraph, config)
         else:
             with timer.stage("graph"):
+                if alive is None:
+                    alive = {
+                        int(k): int(c) for k, c in zip(keys, vals)
+                    }
                 cgraph = build_contigs(alive, config)
             with timer.stage("threading"):
                 read_codes = [encode_seq(s) for s in batch.sequences()]
@@ -336,7 +408,7 @@ def run_pipeline(
             transcripts=final,
             stats={
                 "n_reads": batch.n_reads,
-                "n_kmers_final": len(alive),
+                "n_kmers_final": len(keys),
                 "n_contigs": cgraph.n,
                 "n_components": len(cgraph.components()),
                 "n_mb_splits": n_mb,

@@ -24,6 +24,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compile cache: the sharded-pipeline tests compile dozens of
+# programs; caching them across runs cuts suite wall-clock several-fold
+from shannon_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".pytest_jax_cache")
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -23,7 +23,7 @@ def _device_graph(reads, cfg, cap=1 << 13):
         canonical=not cfg.strand_specific,
     )
     ca = build_contig_arrays(spec, cfg.k, canonical=not cfg.strand_specific)
-    return to_contig_graph(ca, cfg.k, cfg)
+    return to_contig_graph(ca, cfg.k, cfg, with_kmers=True)
 
 
 def _oracle_graph(reads, cfg):

@@ -59,9 +59,9 @@ def test_neighbor_counts_match_oracle(rng, k):
         v = int(keys[i])
         for b in range(4):
             r = canon_kmer(((v << 2) | b) & mask, k)
-            assert int(r_ext[i, b]) == oracle.get(r, 0), (i, b, "rext")
+            assert int(r_ext[b, i]) == oracle.get(r, 0), (i, b, "rext")
             l = canon_kmer((v >> 2) | (b << hs), k)
-            assert int(l_ext[i, b]) == oracle.get(l, 0), (i, b, "lext")
+            assert int(l_ext[b, i]) == oracle.get(l, 0), (i, b, "lext")
         rs = max(oracle.get(canon_kmer((v & ~3) | b, k), 0) for b in range(4))
         ls = max(
             oracle.get(canon_kmer((b << hs) | (v & (mask >> 2)), k), 0)

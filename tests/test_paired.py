@@ -21,7 +21,7 @@ def test_paired_assembly_simple(rng):
     t = simulate_transcripts(rng, n=2, length=400)
     reads = sample_paired_reads(rng, t, coverage=40, read_length=70,
                                 insert_size=200)
-    cfg = AssemblyConfig(k=21)
+    cfg = AssemblyConfig(k=21, kmer_capacity=1 << 15)
     for backend in ("oracle", "device"):
         res = assemble(reads, cfg, backend=backend, paired=True)
         expect = {min(x, revcomp_str(x)) for x in t}
@@ -38,7 +38,7 @@ def test_pair_bridging_resolves_long_repeat(rng):
     reads = sample_paired_reads(
         rng, [t1, t2], coverage=50, read_length=80, insert_size=260
     )
-    cfg = AssemblyConfig(k=21)
+    cfg = AssemblyConfig(k=21, kmer_capacity=1 << 15)
     res = assemble(reads, cfg, backend="oracle", paired=True)
     expect = {min(x, revcomp_str(x)) for x in (t1, t2)}
     got = res.canonical_set()
@@ -54,7 +54,7 @@ def test_paired_backend_parity(rng):
     t = simulate_transcripts(rng, n=2, length=350)
     reads = sample_paired_reads(rng, t, coverage=30, read_length=70,
                                 insert_size=220)
-    cfg = AssemblyConfig(k=21)
+    cfg = AssemblyConfig(k=21, kmer_capacity=1 << 15)
     dev = assemble(reads, cfg, backend="device", paired=True)
     orc = assemble(reads, cfg, backend="oracle", paired=True)
     assert [x.seq for x in dev.transcripts] == [x.seq for x in orc.transcripts]
@@ -64,6 +64,6 @@ def test_unpaired_flag_ignores_joining(rng):
     t = simulate_transcripts(rng, n=1, length=300)
     reads = sample_paired_reads(rng, t, coverage=30, read_length=70,
                                 insert_size=200)
-    cfg = AssemblyConfig(k=21, use_pairs=False)
+    cfg = AssemblyConfig(k=21, use_pairs=False, kmer_capacity=1 << 15)
     res = assemble(reads, cfg, backend="oracle", paired=True)
     assert {min(x, revcomp_str(x)) for x in t} <= res.canonical_set()

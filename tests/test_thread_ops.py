@@ -1,4 +1,4 @@
-"""Device read-threading parity vs oracle thread_reads."""
+"""Device read-threading parity vs oracle (runs + rescue semantics)."""
 
 import numpy as np
 import pytest
@@ -12,10 +12,10 @@ from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
 from shannon_tpu.ops.correction import correct_spectrum
 from shannon_tpu.ops.count import count_spectrum
 from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
-from shannon_tpu.oracle.correction import clip_tips, correct_kmers
+from shannon_tpu.oracle.correction import correct_kmers
 from shannon_tpu.oracle.counting import count_kmers
 from shannon_tpu.oracle.graph import build_contigs
-from shannon_tpu.oracle.multibridge import thread_reads
+from shannon_tpu.oracle.multibridge import expand_paths, thread_reads
 from shannon_tpu.sim import random_seq, sample_reads, simulate_isoforms, simulate_transcripts
 
 
@@ -37,31 +37,46 @@ def _both_graphs(reads, cfg, cap=1 << 16):
     return b, ca, dev_graph, orc_graph
 
 
+def _dev_evidence(b, ca, dev_graph, cfg):
+    ev_cid, ev_run, n_ev, run_w = thread_reads_device(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
+    )
+    raw = paths_to_lists(ev_cid, ev_run, n_ev, run_w, rescue=cfg.rescue_reads)
+    return expand_paths(raw, dev_graph, cfg)
+
+
 def _as_seq_paths(paths, graph):
     return [tuple(graph.contigs[c].seq for c in p) for p in paths]
 
 
 @pytest.mark.parametrize("error_rate", [0.0, 0.02])
-def test_threading_parity(rng, error_rate):
+@pytest.mark.parametrize("rescue", [True, False])
+def test_threading_parity(rng, error_rate, rescue):
     ts = simulate_transcripts(rng, n=2, length=250) + simulate_isoforms(
         rng, exon_length=120
     )
     reads = sample_reads(
         rng, ts, coverage=20, read_length=70, error_rate=error_rate
     )
-    cfg = AssemblyConfig(k=21)
+    cfg = AssemblyConfig(k=21, rescue_reads=rescue)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
-
-    paths, plen = thread_reads_device(
-        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
-    )
-    from shannon_tpu.oracle.multibridge import expand_paths
-
-    dev_paths = expand_paths(paths_to_lists(paths, plen), dev_graph, cfg)
+    dev_paths = _dev_evidence(b, ca, dev_graph, cfg)
     orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
     assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
         orc_paths, orc_graph
     )
+
+
+def test_rescue_multiplies_evidence(rng):
+    # with errors, rescue keeps fragments of error-broken reads
+    ts = simulate_transcripts(rng, n=2, length=250)
+    reads = sample_reads(rng, ts, coverage=20, read_length=70, error_rate=0.03)
+    cfg_r = AssemblyConfig(k=21, rescue_reads=True)
+    cfg_n = AssemblyConfig(k=21, rescue_reads=False)
+    b, ca, dev_graph, _ = _both_graphs(reads, cfg_r)
+    n_rescued = len(_dev_evidence(b, ca, dev_graph, cfg_r))
+    n_longest = len(_dev_evidence(b, ca, dev_graph, cfg_n))
+    assert n_rescued > n_longest
 
 
 def test_threading_repeat_crossing(rng):
@@ -72,12 +87,7 @@ def test_threading_repeat_crossing(rng):
     reads = sample_reads(rng, ts, coverage=25, read_length=80)
     cfg = AssemblyConfig(k=21)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
-    from shannon_tpu.oracle.multibridge import expand_paths
-
-    paths, plen = thread_reads_device(
-        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
-    )
-    dev_paths = expand_paths(paths_to_lists(paths, plen), dev_graph, cfg)
+    dev_paths = _dev_evidence(b, ca, dev_graph, cfg)
     orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
     assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
         orc_paths, orc_graph
@@ -90,9 +100,8 @@ def test_threading_no_hits(rng):
     reads = sample_reads(rng, ts, coverage=10, read_length=60)
     cfg = AssemblyConfig(k=21)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
-    # reads from a different transcriptome: no k-mers present
     alien = pack_reads([random_seq(np.random.default_rng(1), 60)] * 4, 60)
-    paths, plen = thread_reads_device(
+    ev_cid, ev_run, n_ev, run_w = thread_reads_device(
         jnp.asarray(alien.codes), jnp.asarray(alien.lengths), ca, cfg.k
     )
-    assert paths_to_lists(paths, plen) == [[], [], [], []]
+    assert paths_to_lists(ev_cid, ev_run, n_ev, run_w) == [[], [], [], []]

@@ -109,11 +109,10 @@ def _probe_neighbors(thi, tlo, k, direction):
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
-def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> ContigArrays:
+def _nodes_stage(spec: Spectrum, k: int, canonical: bool):
+    """Stage A: oriented node table (both strands, palindromes deduped)."""
     C = spec.capacity
     pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
-
-    # ---- 1. oriented node table --------------------------------------
     if canonical:
         from shannon_tpu.ops.count import unique_first_sorted
 
@@ -131,13 +130,16 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
             thi, tlo, (tcnt,), C2
         )
     else:
-        C2 = C
         node_hi, node_lo, node_count = spec.hi, spec.lo, spec.count
         n_nodes = spec.n
+    return node_hi, node_lo, node_count, n_nodes
 
+
+@partial(jax.jit, static_argnames=("k",))
+def _links_stage(node_hi, node_lo, k: int):
+    """Stage B: degrees + mergeable links via 8 batched probes."""
+    C2 = node_hi.shape[0]
     real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
-
-    # ---- 2. degrees + mergeable links (probe arrays are [4, C2]) -----
     s_idx, s_hit = _probe_neighbors(node_hi, node_lo, k, "succ")
     p_idx, p_hit = _probe_neighbors(node_hi, node_lo, k, "pred")
     s_hit = s_hit & real[None, :]
@@ -146,15 +148,37 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
     indeg = p_hit.sum(axis=0)
     succ1 = jnp.where(s_hit, s_idx, 0).sum(axis=0)  # valid when outdeg==1
     pred1 = jnp.where(p_hit, p_idx, 0).sum(axis=0)
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     next_link = jnp.where(
         (outdeg == 1) & (indeg[jnp.clip(succ1, 0, C2 - 1)] == 1), succ1, -1
     )
     prev_link = jnp.where(
         (indeg == 1) & (outdeg[jnp.clip(pred1, 0, C2 - 1)] == 1), pred1, -1
     )
+    return next_link, prev_link, s_idx, s_hit
 
+
+def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> ContigArrays:
+    """Three device programs (node table, links, labeling+reduction) —
+    smaller peak memory than one fused program at multi-million-node
+    scale, and failures bisect to a stage."""
+    node_hi, node_lo, node_count, n_nodes = _nodes_stage(spec, k, canonical)
+    next_link, prev_link, s_idx, s_hit = _links_stage(node_hi, node_lo, k)
+    return _finish_stage(
+        node_hi, node_lo, node_count, n_nodes,
+        next_link, prev_link, s_idx, s_hit, k, canonical,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def _finish_stage(
+    node_hi, node_lo, node_count, n_nodes,
+    next_link, prev_link, s_idx, s_hit, k: int, canonical: bool,
+) -> ContigArrays:
+    """Stage C: cycle breaking, unitig labeling, per-contig reductions,
+    edges, rc pairing."""
+    C2 = node_hi.shape[0]
+    real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     n_rounds = max(C2.bit_length(), 1)
 
     # ---- 3. break isolated cycles at their min node ------------------

@@ -69,27 +69,40 @@ def _sort3(hi, lo, cnt):
 def unique_first_sorted(
     hi: jnp.ndarray, lo: jnp.ndarray, payloads: tuple, capacity: int
 ) -> tuple[jnp.ndarray, jnp.ndarray, tuple, jnp.ndarray]:
-    """Scatter-free dedupe of a sorted two-word key sequence: compact
-    the first lane of every distinct key (SENTINEL pads last) to the
-    front, gathering each payload at that lane.  Returns
-    (hi[capacity], lo[capacity], payloads at first lanes, n_unique).
-    Used where duplicate keys carry identical payloads (e.g. the
-    oriented node table's palindrome dedupe in ops/condense.py)."""
+    """Scatter/gather-free dedupe of a sorted two-word key sequence:
+    compact the first lane of every distinct key (SENTINEL pads last) to
+    the front via a single packed-key SORT (same rationale as
+    _unique_reduce — sorts beat scatters and gather loops by 10-60x on
+    this hardware).  Returns (hi[capacity], lo[capacity], payloads at
+    first lanes, n_unique).  Used where duplicate keys carry identical
+    payloads (e.g. the oriented node table's palindrome dedupe in
+    ops/condense.py)."""
     m = hi.shape[0]
     real = ~((hi == SENTINEL) & (lo == SENTINEL))
     prev_differs = jnp.ones(m, dtype=bool).at[1:].set(
         (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
     )
     is_start = real & prev_differs
-    ranks = jnp.cumsum(is_start.astype(jnp.int32))
-    n_unique = ranks[-1]
-    want = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    src = jnp.minimum(jnp.searchsorted(ranks, want).astype(jnp.int32), m - 1)
-    valid = jnp.arange(capacity, dtype=jnp.int32) < n_unique
-    out_hi = jnp.where(valid, hi[src], SENTINEL)
-    out_lo = jnp.where(valid, lo[src], SENTINEL)
+    n_unique = is_start.sum(dtype=jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (m, 1), 0)[:, 0]
+    skey = jnp.where(is_start, iota, iota | jnp.uint32(0x80000000))
+    _, c_hi, c_lo, *c_pay = jax.lax.sort(
+        (skey, hi, lo, *payloads), num_keys=1
+    )
+    if m < capacity:
+        padn = capacity - m
+        c_hi = jnp.concatenate([c_hi, jnp.full(padn, SENTINEL, jnp.uint32)])
+        c_lo = jnp.concatenate([c_lo, jnp.full(padn, SENTINEL, jnp.uint32)])
+        c_pay = [
+            jnp.concatenate([p, jnp.zeros(padn, p.dtype)]) for p in c_pay
+        ]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0] < n_unique
+    )
+    out_hi = jnp.where(valid, c_hi[:capacity], SENTINEL)
+    out_lo = jnp.where(valid, c_lo[:capacity], SENTINEL)
     out_payloads = tuple(
-        jnp.where(valid, p[src], jnp.zeros((), p.dtype)) for p in payloads
+        jnp.where(valid, p[:capacity], jnp.zeros((), p.dtype)) for p in c_pay
     )
     return out_hi, out_lo, out_payloads, n_unique
 

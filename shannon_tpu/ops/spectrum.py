@@ -68,6 +68,62 @@ def lookup_counts(
     return jnp.where(hit, spec.count[idx], 0).reshape(shape)
 
 
+def join_lookup_hilo(
+    thi: jnp.ndarray,
+    tlo: jnp.ndarray,
+    qhi: jnp.ndarray,
+    qlo: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-merge-join lookup: exact equivalent of lower_bound_hilo's
+    (index, hit) for bulk query sets, built from two SORTS + cumsums +
+    one monotonic gather instead of a log2(C)-pass gather loop (the
+    sort-beats-gathers rule, docs/DESIGN.md).
+
+    Returns (table index of the query's key — valid where hit — and the
+    exact-hit mask), both in query order and shape."""
+    shape = qhi.shape
+    qhi, qlo = qhi.reshape(-1), qlo.reshape(-1)
+    C = thi.shape[0]
+    nq = qhi.shape[0]
+    m = C + nq
+
+    ch = jnp.concatenate([thi, qhi])
+    cl = jnp.concatenate([tlo, qlo])
+    is_q = jnp.concatenate(
+        [jnp.zeros(C, jnp.uint32), jnp.ones(nq, jnp.uint32)]
+    )
+    pos = jnp.concatenate(
+        [
+            jnp.full(C, 0xFFFFFFFF, jnp.uint32),  # tables: sort last later
+            jax.lax.broadcasted_iota(jnp.uint32, (nq, 1), 0)[:, 0],
+        ]
+    )
+    # join sort: key (hi, lo, is_q) puts each table lane FIRST among
+    # equal keys, queries after it
+    sh, sl, sq, sp = jax.lax.sort((ch, cl, is_q, pos), num_keys=3)
+
+    is_table = sq == 0
+    # original table index of each table lane = its rank among table
+    # lanes (the table is sorted, so join order preserves table order)
+    tbl_rank = jnp.cumsum(is_table.astype(jnp.int32)) - 1
+    # run (= distinct key) bookkeeping
+    prev_same = jnp.zeros(m, bool).at[1:].set(
+        (sh[1:] == sh[:-1]) & (sl[1:] == sl[:-1])
+    )
+    run_id = jnp.cumsum((~prev_same).astype(jnp.int32))
+    last_tbl_run = jax.lax.cummax(jnp.where(is_table, run_id, 0))
+    hit_lane = last_tbl_run == run_id  # my run contains a table lane
+    idx_lane = jnp.maximum(tbl_rank, 0)  # last table lane's table index
+
+    # unsort: queries back to original positions (tables sort last)
+    _, r_idx, r_hit = jax.lax.sort(
+        (sp, idx_lane, hit_lane.astype(jnp.int32)), num_keys=1
+    )
+    idx = jnp.minimum(r_idx[:nq], C - 1)
+    hit = (r_hit[:nq] == 1) & (thi[idx] == qhi) & (tlo[idx] == qlo)
+    return idx.reshape(shape), hit.reshape(shape)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def neighbor_counts(
     spec: Spectrum, k: int, canonical: bool = True

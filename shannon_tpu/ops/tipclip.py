@@ -27,7 +27,6 @@ from shannon_tpu.ops.kmers import SENTINEL
 from shannon_tpu.ops.spectrum import lower_bound_hilo
 
 
-@partial(jax.jit, static_argnames=("k", "canonical", "tip_klen", "min_len"))
 def tip_clip_round(
     spec: Spectrum,
     k: int,
@@ -36,8 +35,22 @@ def tip_clip_round(
     min_len: int,
     canonical: bool = True,
 ) -> tuple[Spectrum, jnp.ndarray]:
-    """One condensation + clip round.  Returns (new spectrum, #doomed)."""
+    """One condensation + clip round: two separate device programs
+    (graph build, then clip decision) — smaller peak memory than one
+    fused program, and failures bisect cleanly."""
     ca = build_contig_arrays(spec, k, canonical)
+    return _clip_decide(spec, ca, k, sibling_ratio, tip_klen, min_len)
+
+
+@partial(jax.jit, static_argnames=("k", "tip_klen", "min_len"))
+def _clip_decide(
+    spec: Spectrum,
+    ca: ContigArrays,
+    k: int,
+    sibling_ratio: jnp.ndarray,
+    tip_klen: int,
+    min_len: int,
+) -> tuple[Spectrum, jnp.ndarray]:
     C2 = ca.node_hi.shape[0]
     n_c = ca.n_contigs
     cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]

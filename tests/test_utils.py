@@ -47,6 +47,31 @@ def test_unique_first_sorted_empty():
     assert int(n) == 0
 
 
+def test_join_lookup_matches_binary_search(rng):
+    from shannon_tpu.ops.spectrum import join_lookup_hilo, lower_bound_hilo
+
+    C, nq = 512, 2000
+    table = np.sort(
+        rng.choice(1 << 20, size=C, replace=False).astype(np.uint64)
+    )
+    thi = jnp.asarray((table >> 32).astype(np.uint32))
+    tlo = jnp.asarray((table & 0xFFFFFFFF).astype(np.uint32))
+    # query mix: present keys, absent keys, duplicates, extremes
+    q = np.concatenate([
+        rng.choice(table, size=nq // 2),
+        rng.integers(0, 1 << 20, size=nq // 2).astype(np.uint64),
+        np.array([0, (1 << 20) - 1], dtype=np.uint64),
+    ])
+    qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    i1, h1 = lower_bound_hilo(thi, tlo, qhi, qlo)
+    i2, h2 = join_lookup_hilo(thi, tlo, qhi, qlo)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    # indices must agree wherever there is a hit
+    hm = np.asarray(h1)
+    np.testing.assert_array_equal(np.asarray(i1)[hm], np.asarray(i2)[hm])
+
+
 def test_host_read_slice_single_process():
     from shannon_tpu.parallel.multihost import host_read_slice, init_distributed
 

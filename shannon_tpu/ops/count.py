@@ -186,6 +186,33 @@ def merge_spectra(a: Spectrum, b: Spectrum) -> Spectrum:
     return _unique_reduce(hi, lo, cnt, a.capacity)
 
 
+def tight_capacity(n: int, slack: float = 1.05, quantum: int = 1 << 19) -> int:
+    """Smallest quantum-aligned capacity >= n * slack.  The graph stages
+    run at this tight capacity instead of the counting table's: the
+    node space is 2x the spectrum capacity, and on this hardware both
+    compile time and a worker crash appeared at the 8.4M-lane (2 * 2^22)
+    shape while 7.34M lanes work — so never carry more padding into the
+    graph phase than the corrected k-mer count needs.  Quantizing to
+    2^19 bounds the number of distinct compiled program shapes."""
+    want = int(n * slack) + 1
+    return ((want + quantum - 1) // quantum) * quantum
+
+
+def shrink_spectrum(spec: Spectrum) -> Spectrum:
+    """Host-side re-wrap of a spectrum at tight_capacity(n) (no device
+    compute; cheap array slicing)."""
+    n = int(spec.n)
+    cap = tight_capacity(n)
+    if cap >= spec.capacity:
+        return spec
+    return Spectrum(
+        hi=jnp.asarray(np.asarray(spec.hi[:cap])),
+        lo=jnp.asarray(np.asarray(spec.lo[:cap])),
+        count=jnp.asarray(np.asarray(spec.count[:cap])),
+        n=jnp.int32(n),
+    )
+
+
 def spectrum_from_arrays(
     kmers: np.ndarray, counts: np.ndarray, capacity: int | None = None
 ) -> Spectrum:
@@ -193,7 +220,7 @@ def spectrum_from_arrays(
     (the stage-checkpoint format in pipeline.py)."""
     n = len(kmers)
     if capacity is None:
-        capacity = 1 << max(int(n).bit_length(), 4)
+        capacity = tight_capacity(n)
     if capacity < n:
         raise ValueError(f"capacity {capacity} < {n} entries")
     hi = np.full(capacity, 0xFFFFFFFF, dtype=np.uint32)

@@ -89,6 +89,12 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True
         config.correction_rounds,
         canonical=canonical,
     )
+    # graph stages run at tight capacity: less padding = smaller/faster
+    # programs, and it keeps the node space out of the 8.4M-lane shape
+    # that crashes this TPU stack (ops/count.tight_capacity)
+    from shannon_tpu.ops.count import shrink_spectrum
+
+    spec = shrink_spectrum(spec)
     if not clip:
         return spec
     return clip_tips_spectrum(spec, config, canonical=canonical)
@@ -300,6 +306,20 @@ def run_pipeline(
                 batch = ReadBatch(codes=codes, lengths=lengths, paired=True)
             else:
                 raise ValueError("provide --single or --left/--right")
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # multi-host: each host keeps its contiguous, pair-aligned
+                # record slice (SURVEY.md §8 M5); every host parses the
+                # input (shared-filesystem model, like the reference)
+                from shannon_tpu.parallel.multihost import host_read_slice
+
+                sl = host_read_slice(batch.n_reads)
+                batch = ReadBatch(
+                    codes=batch.codes[sl],
+                    lengths=batch.lengths[sl],
+                    paired=batch.paired,
+                )
             np.savez_compressed(
                 reads_npz,
                 codes=batch.codes,

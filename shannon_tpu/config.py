@@ -81,6 +81,15 @@ class AssemblyConfig:
     """Randomized restarts for degenerate sparse-flow ties (paper §;
     SURVEY.md §4.3)."""
 
+    sf_use_read_flows: bool = False
+    """Experimental: use read-crossing counts per edge as sparse-flow
+    margins instead of neighbor-abundance splits.  Measured on 100
+    log-normal transcripts at 20x coverage: hurts (recall 92%->89%,
+    precision 98%->95%) — crossing counts are high-variance at
+    realistic coverage while contig abundances average over the whole
+    contig.  Kept for high-coverage datasets where direct junction
+    evidence may win."""
+
     sf_min_flow_frac: float = 0.02
     """Sparse-flow pairings carrying less than this fraction of the node's
     total flow are discarded as noise (the paper trims near-zero flows)."""

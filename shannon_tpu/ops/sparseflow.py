@@ -80,7 +80,7 @@ def batched_greedy(
     return F
 
 
-def solve_nodes_device(g, xs: list[int], config) -> dict[int, list]:
+def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, list]:
     """Batched device solver for all X-nodes in xs; mirrors oracle
     solve_node exactly (same margins, seeds, restart-selection,
     threshold).  Oversized nodes (degree > MAXD) use the host solver."""
@@ -88,12 +88,12 @@ def solve_nodes_device(g, xs: list[int], config) -> dict[int, list]:
     rows = []  # (v, ins, outs, a, b, s, node_seed)
     result: dict[int, list] = {}
     for v in xs:
-        ins, outs, a, b, s = _node_flows(g, v)
+        ins, outs, a, b, s = _node_flows(g, v, edge_flows)
         if s <= 0:
             result[v] = []
             continue
         if len(ins) > MAXD or len(outs) > MAXD:
-            result[v] = solve_node(g, v, config)
+            result[v] = solve_node(g, v, config, edge_flows)
             continue
         node_seed = fnv1a(g.nodes[v].seq.encode()) ^ config.seed
         rows.append((v, ins, outs, a, b, s, node_seed))

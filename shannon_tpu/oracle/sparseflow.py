@@ -90,28 +90,56 @@ def greedy_decompose(
     return out
 
 
+def edge_flows_from_paths(g: NodeGraph) -> dict[tuple[int, int], int]:
+    """Read-crossing counts per edge: every consecutive (a, b) in every
+    evidence path is one observed traversal.  The most direct junction
+    flow estimate available (reference: copy counts maintained through
+    every split — SURVEY.md §3.1)."""
+    flows: dict[tuple[int, int], int] = {}
+    for p in g.paths:
+        for i in range(len(p) - 1):
+            e = (p[i], p[i + 1])
+            flows[e] = flows.get(e, 0) + 1
+    return flows
+
+
 def _node_flows(
-    g: NodeGraph, v: int
+    g: NodeGraph,
+    v: int,
+    edge_flows: dict[tuple[int, int], int] | None = None,
 ) -> tuple[list[int], list[int], np.ndarray, np.ndarray, float]:
+    """SF margins for X-node v.  When every in- and out-edge of v has
+    read-crossing support, the margins are those crossing counts
+    (direct evidence); otherwise fall back to neighbor abundance split
+    evenly over its parallel branches (the only local estimate).
+    All float32 (device parity)."""
     node = g.nodes[v]
     ins = sorted(node.inc)
     outs = sorted(node.out)
-    a = np.array(
-        [
-            np.float32(g.nodes[u].abundance)
-            / np.float32(max(len(g.nodes[u].out), 1))
-            for u in ins
-        ],
-        dtype=np.float32,
-    )
-    b = np.array(
-        [
-            np.float32(g.nodes[w].abundance)
-            / np.float32(max(len(g.nodes[w].inc), 1))
-            for w in outs
-        ],
-        dtype=np.float32,
-    )
+    a = b = None
+    if edge_flows is not None:
+        fa = [edge_flows.get((u, v), 0) for u in ins]
+        fb = [edge_flows.get((v, w), 0) for w in outs]
+        if all(x > 0 for x in fa) and all(x > 0 for x in fb):
+            a = np.array(fa, dtype=np.float32)
+            b = np.array(fb, dtype=np.float32)
+    if a is None:
+        a = np.array(
+            [
+                np.float32(g.nodes[u].abundance)
+                / np.float32(max(len(g.nodes[u].out), 1))
+                for u in ins
+            ],
+            dtype=np.float32,
+        )
+        b = np.array(
+            [
+                np.float32(g.nodes[w].abundance)
+                / np.float32(max(len(g.nodes[w].inc), 1))
+                for w in outs
+            ],
+            dtype=np.float32,
+        )
     s = np.float32(0.5) * (a.sum() + b.sum())
     if a.sum() > 0:
         a = a * (s / a.sum())
@@ -121,10 +149,10 @@ def _node_flows(
 
 
 def solve_node(
-    g: NodeGraph, v: int, config: AssemblyConfig
+    g: NodeGraph, v: int, config: AssemblyConfig, edge_flows=None
 ) -> list[tuple[int, int, float]]:
     """Sparse-flow pairings for X-node v: [(in_node, out_node, flow)]."""
-    ins, outs, a, b, s = _node_flows(g, v)
+    ins, outs, a, b, s = _node_flows(g, v, edge_flows)
     if s <= 0:
         return []
     best = greedy_decompose(a, b, seed=None)
@@ -165,10 +193,11 @@ def sparse_flow(
         xs = g.x_nodes()
         if not xs:
             break
+        flows = edge_flows_from_paths(g) if config.sf_use_read_flows else None
         if solver is None:
-            solved = {v: solve_node(g, v, config) for v in xs}
+            solved = {v: solve_node(g, v, config, flows) for v in xs}
         else:
-            solved = solver(g, xs, config)
+            solved = solver(g, xs, config, flows)
         split_map: dict[int, dict[tuple[int, int], int]] = {}
         for v in xs:
             pairings = solved.get(v) or []

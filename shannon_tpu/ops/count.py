@@ -155,6 +155,44 @@ def _unique_reduce(hi: jnp.ndarray, lo: jnp.ndarray, cnt: jnp.ndarray, capacity:
     )
 
 
+def _unique_reduce_unit(hi: jnp.ndarray, lo: jnp.ndarray, capacity: int) -> Spectrum:
+    """_unique_reduce specialized to per-lane count == 1 on real lanes
+    (the count_spectrum path).  After the two-key sort, real lanes are
+    contiguous at the front, so csum_before[p] == p — the compaction key
+    already carries it.  The compaction sort therefore needs only
+    (skey, hi, lo): 12B/lane instead of 16B/lane of sort traffic.
+
+    `hi` may arrive narrowed to uint16 (see count_spectrum); its
+    sentinel is then 0xFFFF and the output is widened back to uint32."""
+    m = hi.shape[0]
+    hi_sent = (
+        jnp.uint16(0xFFFF) if hi.dtype == jnp.uint16 else SENTINEL
+    )
+    real = ~((hi == hi_sent) & (lo == SENTINEL))
+    n_real = real.sum(dtype=jnp.int32)
+    prev_differs = jnp.ones(m, dtype=bool).at[1:].set(
+        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    )
+    is_start = real & prev_differs
+    n_unique = is_start.sum(dtype=jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (m, 1), 0)[:, 0]
+    skey = jnp.where(is_start, iota, iota | jnp.uint32(0x80000000))
+    skey, c_hi, c_lo = jax.lax.sort((skey, hi, lo), num_keys=1)
+    pos = (skey & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    if m < capacity + 1:
+        pad_n = capacity + 1 - m
+        c_hi = jnp.concatenate([c_hi, jnp.full(pad_n, hi_sent, c_hi.dtype)])
+        c_lo = jnp.concatenate([c_lo, jnp.full(pad_n, SENTINEL, jnp.uint32)])
+        pos = jnp.concatenate([pos, jnp.zeros(pad_n, jnp.int32)])
+    idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    valid = idx < n_unique
+    out_hi = jnp.where(valid, c_hi[:capacity].astype(jnp.uint32), SENTINEL)
+    out_lo = jnp.where(valid, c_lo[:capacity], SENTINEL)
+    nxt = jnp.where(idx + 1 < n_unique, pos[1 : capacity + 1], n_real)
+    out_cnt = jnp.where(valid, nxt - pos[:capacity], 0)
+    return Spectrum(hi=out_hi, lo=out_lo, count=out_cnt, n=n_unique)
+
+
 @partial(jax.jit, static_argnames=("k", "capacity", "canonical"))
 def count_spectrum(
     codes: jnp.ndarray,
@@ -166,12 +204,19 @@ def count_spectrum(
     """Count all k-mers of a read batch into a sorted Spectrum."""
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical)
     hi, lo = hi.reshape(-1), lo.reshape(-1)
+    # hi narrows to uint16 when every real k-mer fits 16 hi bits AND the
+    # all-ones pair cannot occur as a real k-mer: k <= 23 always (hi <
+    # 2^14), k == 24 only under canonicalization (the all-T 24-mer's RC
+    # is all-A < it, so hi == 0xFFFF && lo == 0xFFFFFFFF is unreachable).
+    # Saves 25% of the two-key sort's traffic and 17% of the compaction
+    # sort's.  uint32 SENTINEL wraps to 0xFFFF under the cast.
+    if k <= 23 or (k == 24 and canonical):
+        hi = hi.astype(jnp.uint16)
     # two-operand sort only: per-lane counts are implied (1 for real
     # lanes, 0 for SENTINEL pads) — a third sort operand would add 33%
     # to the sort's data movement for nothing
     hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-    real = ~((hi == SENTINEL) & (lo == SENTINEL))
-    return _unique_reduce(hi, lo, real.astype(jnp.int32), capacity)
+    return _unique_reduce_unit(hi, lo, capacity)
 
 
 @jax.jit

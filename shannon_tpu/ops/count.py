@@ -219,16 +219,50 @@ def count_spectrum(
     return _unique_reduce_unit(hi, lo, capacity)
 
 
-@jax.jit
-def merge_spectra(a: Spectrum, b: Spectrum) -> Spectrum:
-    """Merge two sorted spectra (same capacity) into one: concat -> sort
-    -> re-reduce.  Used batch-to-batch on one chip and shard-to-shard
-    after the hash all-to-all (SURVEY.md §3.4)."""
+@partial(jax.jit, static_argnames=("capacity",))
+def _merge_at(a: Spectrum, b: Spectrum, capacity: int) -> Spectrum:
     hi = jnp.concatenate([a.hi, b.hi])
     lo = jnp.concatenate([a.lo, b.lo])
     cnt = jnp.concatenate([a.count, b.count])
     hi, lo, cnt = _sort3(hi, lo, cnt)
-    return _unique_reduce(hi, lo, cnt, a.capacity)
+    return _unique_reduce(hi, lo, cnt, capacity)
+
+
+def merge_spectra(a: Spectrum, b: Spectrum) -> Spectrum:
+    """Merge two sorted spectra (same capacity) into one: concat -> sort
+    -> re-reduce.  Used shard-to-shard after the hash all-to-all
+    (SURVEY.md §3.4)."""
+    return _merge_at(a, b, a.capacity)
+
+
+def _slice_spectrum(spec: Spectrum, cap: int) -> Spectrum:
+    """Device-side shrink to `cap` lanes (requires cap >= spec.n; the
+    tail being padding makes the slice exact).  No host roundtrip."""
+    if cap >= spec.capacity:
+        return spec
+    return Spectrum(
+        hi=spec.hi[:cap], lo=spec.lo[:cap], count=spec.count[:cap], n=spec.n
+    )
+
+
+def merge_spectra_sized(a: Spectrum, b: Spectrum) -> Spectrum:
+    """Batch-to-batch merge at *tight* capacity: shrink both inputs to
+    tight_capacity(n) lanes and merge into tight_capacity(na + nb).
+
+    Merging at the full counting capacity sorts 2 * capacity lanes per
+    merge no matter how few k-mers are real — at the default 2^22 table
+    that is the 8.4M-lane shape that both compiles slowly and has
+    crashed this TPU stack (see tight_capacity).  Sizing by content
+    keeps merge sorts proportional to the distinct k-mer count and lets
+    the global table grow past the per-batch capacity without overflow.
+    Output capacity is quantized (tight_capacity) to bound the number
+    of distinct compiled shapes.  Host sync on a.n/b.n is fine here:
+    the driver is already a host loop."""
+    na, nb = int(a.n), int(b.n)
+    cap_out = tight_capacity(na + nb)
+    a = _slice_spectrum(a, tight_capacity(na))
+    b = _slice_spectrum(b, tight_capacity(nb))
+    return _merge_at(a, b, cap_out)
 
 
 def tight_capacity(n: int, slack: float = 1.05, quantum: int = 1 << 19) -> int:
@@ -291,7 +325,13 @@ def count_reads_spectrum(
 ) -> Spectrum:
     """Host driver: stream read batches through count_spectrum, merging
     into one spectrum (single-chip path; the sharded path lives in
-    shannon_tpu/parallel)."""
+    shannon_tpu/parallel).
+
+    `capacity` bounds the distinct k-mers of any ONE batch (overflow in
+    a batch is still detected by the caller via Spectrum.overflowed());
+    across batches the merged table grows at tight capacity, so the
+    returned spectrum's capacity may exceed or undercut `capacity` —
+    always >= its own n."""
     n = batch_codes.shape[0]
     total: Spectrum | None = None
     for s in range(0, n, batch_reads):
@@ -311,7 +351,15 @@ def count_reads_spectrum(
         part = count_spectrum(
             jnp.asarray(codes), jnp.asarray(lengths), k, capacity, canonical
         )
-        total = part if total is None else merge_spectra(total, part)
+        if part.overflowed():
+            # must be caught here: the sized merge below would grow the
+            # table past `capacity` and silently absorb the truncation
+            raise RuntimeError(
+                f"batch of {codes.shape[0]} reads produced more than "
+                f"capacity={capacity} distinct k-mers; raise kmer_capacity "
+                "or lower batch_reads"
+            )
+        total = part if total is None else merge_spectra_sized(total, part)
     if total is None:
         total = Spectrum(
             hi=jnp.full(capacity, SENTINEL, jnp.uint32),

@@ -119,3 +119,31 @@ def test_empty_batch():
     spec = count_spectrum(jnp.asarray(b.codes), jnp.asarray(b.lengths), 9, 128)
     assert int(spec.n) == 0
     assert spec.to_dict() == {}
+
+
+def test_merge_spectra_sized_grows_past_batch_capacity(rng):
+    """The sized batch-to-batch merge lets the global table exceed the
+    per-batch capacity without overflow (and without the 2*capacity
+    merge-sort shape)."""
+    from shannon_tpu.ops.count import merge_spectra_sized
+
+    r1 = [random_seq(rng, 60) for _ in range(40)]
+    r2 = [random_seq(rng, 60) for _ in range(40)]
+    k, cap = 17, 1 << 11
+    b1, b2 = pack_reads(r1, 64), pack_reads(r2, 64)
+    s1 = count_spectrum(jnp.asarray(b1.codes), jnp.asarray(b1.lengths), k, cap)
+    s2 = count_spectrum(jnp.asarray(b2.codes), jnp.asarray(b2.lengths), k, cap)
+    assert not s1.overflowed() and not s2.overflowed()
+    merged = merge_spectra_sized(s1, s2)
+    assert merged.capacity >= int(merged.n)
+    assert not merged.overflowed()
+    assert merged.to_dict() == count_kmers(r1 + r2, k)
+
+
+def test_count_reads_spectrum_batch_overflow_raises(rng):
+    """Per-batch capacity overflow must raise, not be silently absorbed
+    by the growing merge."""
+    reads = [random_seq(rng, 70) for _ in range(64)]
+    b = pack_reads(reads, pad_length=70)
+    with pytest.raises(RuntimeError, match="distinct k-mers"):
+        count_reads_spectrum(b.codes, b.lengths, k=19, capacity=64, batch_reads=32)

@@ -212,10 +212,10 @@ def thread_reads(
 
 def _evidence_at(g: NodeGraph) -> dict[int, Counter]:
     ev: dict[int, Counter] = {}
-    for p in g.paths:
+    for p, w in zip(g.paths, g.path_weight_list()):
         for i in range(1, len(p) - 1):
             a, v, b = p[i - 1], p[i], p[i + 1]
-            ev.setdefault(v, Counter())[(a, b)] += 1
+            ev.setdefault(v, Counter())[(a, b)] += w
     return ev
 
 
@@ -259,7 +259,8 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
                     g.add_edge(nid, b)
         # reroute read paths and wire split-split adjacencies from paths
         new_paths: list[list[int]] = []
-        for p in g.paths:
+        new_weights: list[int] = []
+        for p, pw in zip(g.paths, g.path_weight_list()):
             q: list[int] = []
             ok = True
             for i, x in enumerate(p):
@@ -295,7 +296,8 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
                     q.append(x)
             if ok and q:
                 new_paths.append(q)
-        g.paths = new_paths
+                new_weights.append(pw)
+        g.set_paths(new_paths, new_weights)
         # wire consecutive copies appearing in rerouted paths (covers the
         # adjacent-split-node case)
         for p in g.paths:

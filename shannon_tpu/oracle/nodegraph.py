@@ -29,11 +29,19 @@ class Node:
 class NodeGraph:
     k: int
     nodes: list[Node]
-    paths: list[list[int]]  # read paths (node-id sequences); may be []
+    paths: list[list[int]]  # UNIQUE evidence paths (node-id sequences)
+    # multiplicity of each unique path (reads yielding the same node path
+    # collapse into one weighted entry, so per-path host loops scale with
+    # graph complexity, not read count; weighted evidence counts equal
+    # the per-read multiset exactly)
+    path_weights: list[int] = field(default_factory=list)
 
     @classmethod
     def from_contig_graph(
-        cls, g: ContigGraph, paths: list[list[int]] | None = None
+        cls,
+        g: ContigGraph,
+        paths: list[list[int]] | None = None,
+        weights: list[int] | None = None,
     ) -> "NodeGraph":
         nodes = [
             Node(
@@ -45,7 +53,32 @@ class NodeGraph:
             )
             for i, c in enumerate(g.contigs)
         ]
-        return cls(k=g.k, nodes=nodes, paths=paths or [])
+        out = cls(k=g.k, nodes=nodes, paths=[])
+        out.set_paths(paths or [], weights)
+        return out
+
+    def set_paths(
+        self, paths: list[list[int]], weights: list[int] | None = None
+    ) -> None:
+        """Replace the evidence paths, merging duplicates into weights.
+        First-occurrence order is kept, so downstream iteration order
+        (edge insertion, evidence accumulation) matches the un-deduped
+        per-read sequence exactly."""
+        if weights is None:
+            weights = [1] * len(paths)
+        agg: dict[tuple[int, ...], int] = {}
+        for p, w in zip(paths, weights):
+            key = tuple(p)
+            agg[key] = agg.get(key, 0) + w
+        self.paths = [list(kk) for kk in agg]
+        self.path_weights = list(agg.values())
+
+    def path_weight_list(self) -> list[int]:
+        """Weights aligned with self.paths (ones when a caller assigned
+        self.paths directly)."""
+        if len(self.path_weights) != len(self.paths):
+            self.path_weights = [1] * len(self.paths)
+        return self.path_weights
 
     # ------------------------------------------------------------------
     def add_node(self, seq: str, abundance: float, klen: int) -> int:
@@ -165,7 +198,8 @@ class NodeGraph:
                 self.nodes[w].inc.append(v)
         for v in range(len(self.nodes)):
             self.nodes[v].inc.sort()
-        # remap read paths, collapsing consecutive duplicates
+        # remap read paths, collapsing consecutive duplicates; paths made
+        # equal by the remap merge their weights
         new_paths: list[list[int]] = []
         for p in self.paths:
             q: list[int] = []
@@ -174,7 +208,7 @@ class NodeGraph:
                 if not q or q[-1] != h:
                     q.append(h)
             new_paths.append(q)
-        self.paths = new_paths
+        self.set_paths(new_paths, self.path_weight_list())
 
     # ------------------------------------------------------------------
     def alive_ids(self) -> list[int]:

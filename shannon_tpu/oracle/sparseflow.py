@@ -96,10 +96,10 @@ def edge_flows_from_paths(g: NodeGraph) -> dict[tuple[int, int], int]:
     flow estimate available (reference: copy counts maintained through
     every split — SURVEY.md §3.1)."""
     flows: dict[tuple[int, int], int] = {}
-    for p in g.paths:
+    for p, w in zip(g.paths, g.path_weight_list()):
         for i in range(len(p) - 1):
             e = (p[i], p[i + 1])
-            flows[e] = flows.get(e, 0) + 1
+            flows[e] = flows.get(e, 0) + w
     return flows
 
 
@@ -232,7 +232,8 @@ def sparse_flow(
                             g.add_edge(nid, nid2)
         # reroute read paths (same semantics as MB rerouting)
         new_paths: list[list[int]] = []
-        for p in g.paths:
+        new_weights: list[int] = []
+        for p, pw in zip(g.paths, g.path_weight_list()):
             q: list[int] = []
             for i, x in enumerate(p):
                 if x not in split_map:
@@ -257,7 +258,8 @@ def sparse_flow(
                 q.append(nid)
             if q:
                 new_paths.append(q)
-        g.paths = new_paths
+                new_weights.append(pw)
+        g.set_paths(new_paths, new_weights)
         for v in split_map:
             g.remove_node(v)
         total += len(split_map)

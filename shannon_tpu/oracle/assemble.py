@@ -133,8 +133,8 @@ def assemble_oracle(
     alive = correct_kmers(counts, config)
     alive = clip_tips(alive, config)
     cgraph = build_contigs(alive, config)
-    paths = thread_reads(read_codes, cgraph, config)
-    g = NodeGraph.from_contig_graph(cgraph, paths)
+    paths, weights = thread_reads(read_codes, cgraph, config)
+    g = NodeGraph.from_contig_graph(cgraph, paths, weights)
     n_mb = multibridge(g, config)
     n_sf = sparse_flow(g, config)
     transcripts, truncated = enumerate_transcripts(g, config)

@@ -140,50 +140,60 @@ def expand_paths(
     graph: ContigGraph,
     config: AssemblyConfig,
     paired: bool = False,
-) -> list[list[int]]:
+    weights: list[int] | None = None,
+) -> tuple[list[list[int]], list[int]]:
     """Per-read run lists (aligned with reads; [] = unthreadable) ->
-    evidence path list:
+    (evidence path list, per-path multiplicities):
 
       * every run is evidence (read rescue);
       * for pairs, the facing ends (last run of mate 1, first run of
         mate 2 — both already transcript-oriented) are joined where
         possible, bridging repeats longer than a read;
       * in canonical mode each path's RC twin is added so both
-        orientation copies of the graph receive identical evidence.
+        orientation copies of the graph receive identical evidence;
+      * `weights` (aligned with raw_runs; mates of a deduped pair carry
+        equal weight) lets callers pass pre-deduplicated rows — every
+        emitted path inherits its source read's multiplicity.
 
     Shared by the oracle and device threading backends."""
     out: list[list[int]] = []
+    out_w: list[int] = []
+    if weights is None:
+        weights = [1] * len(raw_runs)
 
-    def emit(p: list[int]) -> None:
+    def emit(p: list[int], w: int) -> None:
         if not p:
             return
         out.append(p)
+        out_w.append(w)
         if not config.strand_specific:
             out.append([graph.rc_pair[c] for c in reversed(p)])
+            out_w.append(w)
 
-    def emit_all(runs: list[list[int]]) -> None:
+    def emit_all(runs: list[list[int]], w: int) -> None:
         for p in runs:
-            emit(p)
+            emit(p, w)
 
     if paired and config.use_pairs:
         for i in range(0, len(raw_runs) - 1, 2):
             rl, rr = raw_runs[i], raw_runs[i + 1]
+            w = weights[i]
             joined = (
                 join_pair_paths(rl[-1], rr[0], graph) if rl and rr else None
             )
             if joined is not None:
-                emit_all(rl[:-1])
-                emit(joined)
-                emit_all(rr[1:])
+                emit_all(rl[:-1], w)
+                emit(joined, w)
+                emit_all(rr[1:], w)
             else:
-                emit_all(rl)
-                emit_all(rr)
+                emit_all(rl, w)
+                emit_all(rr, w)
         if len(raw_runs) % 2:
-            emit_all(raw_runs[-1])
+            emit_all(raw_runs[-1], weights[-1])
     else:
-        for runs in raw_runs:
-            emit_all(runs)
-    return out
+        for runs, w in zip(raw_runs, weights):
+            emit_all(runs, w)
+    return out, out_w
 
 
 def thread_reads(
@@ -191,9 +201,9 @@ def thread_reads(
     graph: ContigGraph,
     config: AssemblyConfig,
     paired: bool = False,
-) -> list[list[int]]:
-    """Thread every read and expand to evidence paths (rescue + pair
-    joining + RC twins per expand_paths)."""
+) -> tuple[list[list[int]], list[int]]:
+    """Thread every read and expand to evidence (paths, weights)
+    (rescue + pair joining + RC twins per expand_paths)."""
     contig_of_kmer = graph._contig_of_kmer  # type: ignore[attr-defined]
     raw: list[list[list[int]]] = []
     for codes in read_codes:

@@ -114,9 +114,12 @@ def _graph_device(batch: ReadBatch, config: AssemblyConfig):
 
 
 def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
-    """Device read threading (hot loop #3) -> evidence path lists.
+    """Device read threading (hot loop #3) -> evidence (paths, weights).
     Streams read batches (static shapes, compile-cache friendly) like
-    the counting driver."""
+    the counting driver, then DEDUPLICATES whole event rows (read
+    pairs in paired mode) before the per-row Python conversion — at
+    deep coverage most reads thread identically, so the host loop runs
+    over unique rows, not reads."""
     import jax.numpy as jnp
 
     from shannon_tpu.oracle.multibridge import expand_paths
@@ -124,7 +127,8 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
 
     n = batch.n_reads
     bs = config.batch_reads
-    raw: list[list[list[int]]] = []
+    rows_parts: list[np.ndarray] = []
+    W = R = 0
     for s in range(0, n, bs):
         e = min(s + bs, n)
         codes = batch.codes[s:e]
@@ -139,11 +143,42 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
         ev_cid, ev_run, n_events, run_w = thread_reads_device(
             jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
         )
-        part = paths_to_lists(
-            ev_cid, ev_run, n_events, run_w, rescue=config.rescue_reads
+        W, R = ev_cid.shape[1], run_w.shape[1]
+        part = np.hstack(
+            [
+                np.asarray(ev_cid, np.int32),
+                np.asarray(ev_run, np.int32),
+                np.asarray(n_events, np.int32)[:, None],
+                np.asarray(run_w, np.int32),
+            ]
         )
-        raw.extend(part[: e - s])
-    return expand_paths(raw, cgraph, config, paired=batch.paired)
+        rows_parts.append(part[: e - s])
+    if not rows_parts:
+        return expand_paths([], cgraph, config, paired=batch.paired)
+    rows_all = np.vstack(rows_parts)  # [N, 2W + 1 + R] per read
+    ncol = rows_all.shape[1]
+    # pairs dedup as units so mate weights stay aligned
+    group = 2 if (batch.paired and config.use_pairs) else 1
+    if group == 2 and rows_all.shape[0] % 2:
+        group = 1  # ragged trailing mate: keep per-read rows
+    grouped = rows_all.reshape(-1, group * ncol)
+    uniq, first, counts = np.unique(
+        grouped, axis=0, return_index=True, return_counts=True
+    )
+    order = np.argsort(first, kind="stable")  # keep first-occurrence order
+    uniq, counts = uniq[order], counts[order]
+    urows = uniq.reshape(-1, ncol)
+    raw = paths_to_lists(
+        urows[:, :W],                 # ev_cid
+        urows[:, W : 2 * W],          # ev_run
+        urows[:, 2 * W],              # n_events
+        urows[:, 2 * W + 1 :],        # run_windows
+        rescue=config.rescue_reads,
+    )
+    weights = np.repeat(counts, group).astype(int).tolist()
+    return expand_paths(
+        raw, cgraph, config, paired=batch.paired, weights=weights
+    )
 
 
 def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
@@ -199,7 +234,7 @@ def assemble(
             cgraph, n_alive, ca = _graph_device(batch, config)
         comps = cgraph.components()
         with timer.stage("threading"):
-            paths = _thread_device(batch, ca, cgraph, config)
+            paths, path_weights = _thread_device(batch, ca, cgraph, config)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -210,12 +245,14 @@ def assemble(
             comps = cgraph.components()
         with timer.stage("threading"):
             read_codes = [encode_seq(s) for s in reads]
-            paths = thread_reads(read_codes, cgraph, config, paired=paired)
+            paths, path_weights = thread_reads(
+                read_codes, cgraph, config, paired=paired
+            )
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     with timer.stage("assembly"):
-        g = NodeGraph.from_contig_graph(cgraph, paths)
+        g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
         n_mb = multibridge(g, config)
         n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
         transcripts, truncated = enumerate_transcripts(g, config)
@@ -398,7 +435,7 @@ def run_pipeline(
                 )
                 cgraph = to_contig_graph(ca, config.k, config)
             with timer.stage("threading"):
-                paths = _thread_device(batch, ca, cgraph, config)
+                paths, path_weights = _thread_device(batch, ca, cgraph, config)
         else:
             with timer.stage("graph"):
                 if alive is None:
@@ -408,11 +445,11 @@ def run_pipeline(
                 cgraph = build_contigs(alive, config)
             with timer.stage("threading"):
                 read_codes = [encode_seq(s) for s in batch.sequences()]
-                paths = thread_reads(
+                paths, path_weights = thread_reads(
                     read_codes, cgraph, config, paired=batch.paired
                 )
         with timer.stage("assembly"):
-            g = NodeGraph.from_contig_graph(cgraph, paths)
+            g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
             n_mb = multibridge(g, config)
             n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
             transcripts_all, truncated = enumerate_transcripts(g, config)

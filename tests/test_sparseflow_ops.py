@@ -109,8 +109,8 @@ def test_solve_nodes_device_matches_host(rng):
     def run(solver):
         alive = clip_tips(correct_kmers(count_kmers(reads, cfg.k), cfg), cfg)
         cg = build_contigs(alive, cfg)
-        paths = thread_reads([encode_seq(s) for s in reads], cg, cfg)
-        g = NodeGraph.from_contig_graph(cg, paths)
+        paths, weights = thread_reads([encode_seq(s) for s in reads], cg, cfg)
+        g = NodeGraph.from_contig_graph(cg, paths, weights)
         multibridge(g, cfg)
         n = sparse_flow(g, cfg, solver=solver)
         return n, sorted(

@@ -42,7 +42,7 @@ def _dev_evidence(b, ca, dev_graph, cfg):
         jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
     )
     raw = paths_to_lists(ev_cid, ev_run, n_ev, run_w, rescue=cfg.rescue_reads)
-    return expand_paths(raw, dev_graph, cfg)
+    return expand_paths(raw, dev_graph, cfg)[0]
 
 
 def _as_seq_paths(paths, graph):
@@ -61,7 +61,7 @@ def test_threading_parity(rng, error_rate, rescue):
     cfg = AssemblyConfig(k=21, rescue_reads=rescue)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
     dev_paths = _dev_evidence(b, ca, dev_graph, cfg)
-    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
+    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)[0]
     assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
         orc_paths, orc_graph
     )
@@ -88,7 +88,7 @@ def test_threading_repeat_crossing(rng):
     cfg = AssemblyConfig(k=21)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
     dev_paths = _dev_evidence(b, ca, dev_graph, cfg)
-    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)
+    orc_paths = thread_reads([encode_seq(s) for s in reads], orc_graph, cfg)[0]
     assert _as_seq_paths(dev_paths, dev_graph) == _as_seq_paths(
         orc_paths, orc_graph
     )

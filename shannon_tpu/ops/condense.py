@@ -34,7 +34,7 @@ import numpy as np
 
 from shannon_tpu.ops.count import Spectrum
 from shannon_tpu.ops.kmers import SENTINEL, revcomp_hilo
-from shannon_tpu.ops.spectrum import lower_bound_hilo
+from shannon_tpu.ops.spectrum import lookup_hilo
 
 
 @jax.tree_util.register_pytree_node_class
@@ -104,7 +104,7 @@ def _probe_neighbors(thi, tlo, k, direction):
             pls.append(ll)
     qh = jnp.stack(phs, axis=0)  # [4, C2]
     ql = jnp.stack(pls, axis=0)
-    idx, hit = lower_bound_hilo(thi, tlo, qh.reshape(-1), ql.reshape(-1))
+    idx, hit = lookup_hilo(thi, tlo, qh.reshape(-1), ql.reshape(-1))
     return idx.reshape(qh.shape), hit.reshape(qh.shape)
 
 
@@ -276,12 +276,10 @@ def _finish_stage(
     # strand-specific / palindromic cases)
     cid_iota32 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     if canonical:
-        from shannon_tpu.ops.spectrum import lower_bound_hilo as _lb
-
         t_hi = node_hi[tl]
         t_lo = node_lo[tl]
         rc_h, rc_l = revcomp_hilo(t_hi, t_lo, k)
-        rc_idx, rc_hit = _lb(node_hi, node_lo, rc_h, rc_l)
+        rc_idx, rc_hit = lookup_hilo(node_hi, node_lo, rc_h, rc_l)
         # the rc k-mer must be a contig HEAD (offset 0): in a broken
         # cycle the rc of a tail k-mer can land mid-contig, where no
         # aligned rc twin exists (oracle falls back to self there)

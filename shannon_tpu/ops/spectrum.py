@@ -64,7 +64,7 @@ def lookup_counts(
     in table orientation (canonical for canonical spectra).  Any shape."""
     shape = qhi.shape
     qhi, qlo = qhi.reshape(-1), qlo.reshape(-1)
-    idx, hit = lower_bound_hilo(spec.hi, spec.lo, qhi, qlo)
+    idx, hit = lookup_hilo(spec.hi, spec.lo, qhi, qlo)
     return jnp.where(hit, spec.count[idx], 0).reshape(shape)
 
 
@@ -122,6 +122,33 @@ def join_lookup_hilo(
     idx = jnp.minimum(r_idx[:nq], C - 1)
     hit = (r_hit[:nq] == 1) & (thi[idx] == qhi) & (tlo[idx] == qlo)
     return idx.reshape(shape), hit.reshape(shape)
+
+
+def lookup_hilo(
+    thi: jnp.ndarray,
+    tlo: jnp.ndarray,
+    qhi: jnp.ndarray,
+    qlo: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-hit lookup with shape-static kernel dispatch: sort-merge
+    join for bulk query sets (19x faster at pipeline shapes — 898ms vs
+    17.1s for 25M queries against a 1.6M table, scripts/micro_lookup.py
+    on v5e), log2(C) binary search for small ones (the join must sort
+    the full table, which tiny query sets don't amortize).
+
+    NOTE: on a miss the returned index is NOT a lower bound (the two
+    kernels differ there) — callers must treat idx as valid only where
+    hit is True.  Every pipeline call site already does."""
+    C = thi.shape[0]
+    nq = 1
+    for d in qhi.shape:
+        nq *= d
+    # cost model: join = ~2 sorts over (C + nq) lanes; binary search =
+    # log2(C) gather passes over nq lanes, and a gather pass costs ~2x
+    # a sort pass per lane on this hardware (docs/DESIGN.md)
+    if nq * max(C.bit_length(), 1) >= C + nq:
+        return join_lookup_hilo(thi, tlo, qhi, qlo)
+    return lower_bound_hilo(thi, tlo, qhi, qlo)
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))

@@ -27,7 +27,7 @@ import numpy as np
 
 from shannon_tpu.ops.condense import ContigArrays
 from shannon_tpu.ops.kmers import extract_kmers
-from shannon_tpu.ops.spectrum import lower_bound_hilo
+from shannon_tpu.ops.spectrum import lookup_hilo
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -42,7 +42,7 @@ def thread_reads_device(
     N, L = codes.shape
     W = L - k + 1
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical=False)
-    idx, hit = lower_bound_hilo(
+    idx, hit = lookup_hilo(
         ca.node_hi, ca.node_lo, hi.reshape(-1), lo.reshape(-1)
     )
     idx = idx.reshape(N, W)

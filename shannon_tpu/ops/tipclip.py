@@ -24,7 +24,7 @@ from shannon_tpu.ops.condense import ContigArrays, build_contig_arrays
 from shannon_tpu.ops.correction import _compact
 from shannon_tpu.ops.count import Spectrum
 from shannon_tpu.ops.kmers import SENTINEL
-from shannon_tpu.ops.spectrum import lower_bound_hilo
+from shannon_tpu.ops.spectrum import lookup_hilo
 
 
 def tip_clip_round(
@@ -146,7 +146,7 @@ def _clip_decide(
 
     # --- drop doomed contigs' k-mers from the spectrum -----------------
     # each spectrum entry is canonical; find its node lane -> cid
-    idx, hit = lower_bound_hilo(ca.node_hi, ca.node_lo, spec.hi, spec.lo)
+    idx, hit = lookup_hilo(ca.node_hi, ca.node_lo, spec.hi, spec.lo)
     cid_of_entry = jnp.where(hit, ca.node_cid[idx], -1)
     entry_doomed = (cid_of_entry >= 0) & doomed_c[
         jnp.clip(cid_of_entry, 0, C2 - 1)

@@ -81,6 +81,14 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True
             f"kmer_capacity={config.kmer_capacity} overflowed; raise "
             "AssemblyConfig.kmer_capacity"
         )
+    # shrink to tight capacity BEFORE correction: neighbor_counts builds
+    # [16, C] probe tables, which at the full counting capacity (2^22 ->
+    # 67M lanes) crashes the TPU worker (measured); at tight capacity the
+    # same correction runs fine, and every downstream stage gets
+    # smaller/faster programs too (ops/count.tight_capacity)
+    from shannon_tpu.ops.count import shrink_spectrum
+
+    spec = shrink_spectrum(spec)
     spec = correct_spectrum(
         spec,
         config.k,
@@ -89,12 +97,6 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True
         config.correction_rounds,
         canonical=canonical,
     )
-    # graph stages run at tight capacity: less padding = smaller/faster
-    # programs, and it keeps the node space out of the 8.4M-lane shape
-    # that crashes this TPU stack (ops/count.tight_capacity)
-    from shannon_tpu.ops.count import shrink_spectrum
-
-    spec = shrink_spectrum(spec)
     if not clip:
         return spec
     return clip_tips_spectrum(spec, config, canonical=canonical)

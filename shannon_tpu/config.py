@@ -71,6 +71,26 @@ class AssemblyConfig:
     use_pairs: bool = True
     """Use paired-end mates + insert-size constraints in multibridging."""
 
+    insert_size: int = 0
+    """Mean fragment (insert) length of the paired-end library.  0 =
+    estimate from the data (median implied fragment of pairs whose
+    facing anchors land in the same contig).  Bounds which mate joins
+    are geometrically possible (SURVEY.md §3.1 'with insert-size
+    constraints', §6 'long context')."""
+
+    insert_size_std: float = 0.0
+    """Fragment length standard deviation.  0 = estimate (1.4826*MAD
+    of the same sample, or 10% of insert_size when that is given)."""
+
+    insert_cap_sigmas: float = 4.0
+    """A mate join whose implied fragment exceeds mean + this*sigma is
+    rejected; a multi-node gap join must land within +-this*sigma."""
+
+    pair_gap_nodes: int = 3
+    """Max intermediate contigs searched for an insert-licensed gap
+    join between mate paths (repeats longer than a read but shorter
+    than the insert are bridged through these)."""
+
     rescue_reads: bool = True
     """Read rescue (reference stage 3, SURVEY.md §3.1): use EVERY
     consistent run of a read's k-mers as bridging evidence, not only the

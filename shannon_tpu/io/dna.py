@@ -49,6 +49,25 @@ def revcomp_str(seq: str) -> str:
     return decode_seq(revcomp_codes(encode_seq(seq)))
 
 
+def revcomp_code_rows(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized ragged reverse-complement of a padded code matrix
+    ([n, pad] uint8, rows valid to lengths[i], BASE_INVALID-padded):
+    full-row reverse, then rotate each row left by (pad - length) so the
+    reversed bases land back at the front.  Row-for-row identical to
+    revcomp_codes on each valid prefix (tested) — the single
+    implementation behind every mate-2 orientation normalization."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n, pad = codes.shape
+    rev = codes[:, ::-1]
+    cols = (
+        np.arange(pad, dtype=np.int64)[None, :]
+        + (pad - np.asarray(lengths, dtype=np.int64))[:, None]
+    ) % pad
+    rc = np.take_along_axis(rev, cols, axis=1)
+    valid = rc < 4
+    return np.where(valid, 3 - rc, BASE_INVALID).astype(np.uint8)
+
+
 def canon_str(seq: str) -> str:
     """Canonical form of a sequence: min(seq, revcomp(seq)) lexicographic."""
     rc = revcomp_str(seq)

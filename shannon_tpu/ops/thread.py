@@ -14,7 +14,13 @@ Spec (matches oracle thread_read_runs):
     longest-run per config.rescue_reads).
 
 Outputs (fixed shapes): event contig ids + event run ids [N, W],
-event count [N], and per-run window counts [N, R].
+event count [N], and per-run geometry [N, R]: first/last window index
+in the read (p0, p1) and the contig offsets of those windows (o0, o1).
+The geometry feeds insert-size-constrained pair joining (SURVEY.md §6
+'long context'): fragment length implied by a candidate mate join is
+computed from (p, o) anchors, so geometrically impossible joins are
+rejected and multi-node gaps licensed by the insert distribution are
+bridged (oracle/multibridge.join_pair_runs).
 """
 
 from __future__ import annotations
@@ -36,9 +42,9 @@ def thread_reads_device(
     lengths: jnp.ndarray,  # [N]
     ca: ContigArrays,
     k: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+):
     """Returns (ev_cid [N, W], ev_run [N, W], n_events [N],
-    run_windows [N, R])."""
+    run_p0, run_p1, run_o0, run_o1 — each [N, R], -1-padded)."""
     N, L = codes.shape
     W = L - k + 1
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical=False)
@@ -72,36 +78,49 @@ def thread_reads_device(
     ev_cid = jnp.where(idx < n_events[:, None], ev_cid, -1)
     ev_run = jnp.where(idx < n_events[:, None], ev_run, -1)
 
-    # per-run window counts: compact run starts and run ends per row;
-    # run r spans columns [start_r, end_r] (contiguous hits)
+    # per-run geometry: compact run starts and run ends per row; run r
+    # spans columns [start_r, end_r] (contiguous hits); the contig
+    # offsets of those two anchor windows ride the same sorts
     max_runs = (W + 1) // 2 + 1
     key_s = jnp.where(run_start, col, col | MSB)
-    _, s_pos = jax.lax.sort((key_s, idx), dimension=-1, num_keys=1)
+    _, s_pos, s_off = jax.lax.sort((key_s, idx, off), dimension=-1, num_keys=1)
     key_e = jnp.where(run_end, col, col | MSB)
-    _, e_pos = jax.lax.sort((key_e, idx), dimension=-1, num_keys=1)
+    _, e_pos, e_off = jax.lax.sort((key_e, idx, off), dimension=-1, num_keys=1)
     n_runs = run_start.sum(axis=1).astype(jnp.int32)
-    rw = e_pos[:, :max_runs] - s_pos[:, :max_runs] + 1
     ridx = jax.lax.broadcasted_iota(jnp.int32, (N, max_runs), 1)
-    run_windows = jnp.where(ridx < n_runs[:, None], rw, 0)
-    return ev_cid, ev_run, n_events, run_windows
+    valid_r = ridx < n_runs[:, None]
+    run_p0 = jnp.where(valid_r, s_pos[:, :max_runs], -1)
+    run_p1 = jnp.where(valid_r, e_pos[:, :max_runs], -1)
+    run_o0 = jnp.where(valid_r, s_off[:, :max_runs], -1)
+    run_o1 = jnp.where(valid_r, e_off[:, :max_runs], -1)
+    return ev_cid, ev_run, n_events, run_p0, run_p1, run_o0, run_o1
 
 
 def paths_to_lists(
     ev_cid: np.ndarray,
     ev_run: np.ndarray,
     n_events: np.ndarray,
-    run_windows: np.ndarray,
+    run_p0: np.ndarray,
+    run_p1: np.ndarray,
+    run_o0: np.ndarray,
+    run_o1: np.ndarray,
     rescue: bool = True,
-) -> list[list[list[int]]]:
-    """Host conversion to per-read run lists (aligned with batch rows;
-    [] = unthreadable read): [[run0_path, run1_path, ...], ...].
-    rescue=False keeps only each read's longest run (by window count,
-    ties -> earliest)."""
+) -> list[list]:
+    """Host conversion to per-read Run lists (aligned with batch rows;
+    [] = unthreadable read): [[Run0, Run1, ...], ...] with each Run
+    carrying (path, p0, p1, o0, o1) — see oracle.multibridge.Run.
+    rescue=False keeps only each read's longest run (by window count
+    p1 - p0 + 1, ties -> earliest)."""
+    from shannon_tpu.oracle.multibridge import Run
+
     ev_cid = np.asarray(ev_cid)
     ev_run = np.asarray(ev_run)
     n_events = np.asarray(n_events)
-    run_windows = np.asarray(run_windows)
-    out: list[list[list[int]]] = []
+    run_p0 = np.asarray(run_p0)
+    run_p1 = np.asarray(run_p1)
+    run_o0 = np.asarray(run_o0)
+    run_o1 = np.asarray(run_o1)
+    out: list[list] = []
     for i in range(ev_cid.shape[0]):
         n = int(n_events[i])
         if n == 0:
@@ -112,11 +131,23 @@ def paths_to_lists(
         # split events into runs at run-id changes
         cuts = np.nonzero(np.diff(rids))[0] + 1
         paths = [seg.tolist() for seg in np.split(cids, cuts)]
+        run_ids = [int(rids[0])] + [int(rids[c]) for c in cuts]
+        runs = [
+            Run(
+                path=paths[t],
+                p0=int(run_p0[i, r]),
+                p1=int(run_p1[i, r]),
+                o0=int(run_o0[i, r]),
+                o1=int(run_o1[i, r]),
+            )
+            for t, r in enumerate(run_ids)
+        ]
         if rescue:
-            out.append(paths)
+            out.append(runs)
         else:
-            run_ids = [int(rids[0])] + [int(rids[c]) for c in cuts]
-            w = run_windows[i]
-            best = max(range(len(paths)), key=lambda t: (w[run_ids[t]], -t))
-            out.append([paths[best]])
+            best = max(
+                range(len(runs)),
+                key=lambda t: (runs[t].p1 - runs[t].p0, -t),
+            )
+            out.append([runs[best]])
     return out

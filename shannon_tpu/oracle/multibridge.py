@@ -38,6 +38,7 @@ Spec (binding for the TPU pipeline):
 from __future__ import annotations
 
 from collections import Counter
+from typing import NamedTuple
 
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.counting import _seq_kmers
@@ -47,14 +48,31 @@ from shannon_tpu.oracle.nodegraph import NodeGraph
 import numpy as np
 
 
+class Run(NamedTuple):
+    """One consistent threading run of a read: the contig path plus the
+    geometry anchors that make insert-size reasoning possible —
+    (p0, p1) = read window index of the run's first/last hit window,
+    (o0, o1) = contig k-mer offset of those two windows (o0 within
+    path[0], o1 within path[-1])."""
+
+    path: list[int]
+    p0: int
+    p1: int
+    o0: int
+    o1: int
+
+    @property
+    def windows(self) -> int:
+        return self.p1 - self.p0 + 1
+
+
 def thread_read_runs(
     codes: np.ndarray,
     k: int,
     contig_of_kmer: dict[int, tuple[int, int]],
     graph: ContigGraph,
-) -> list[tuple[list[int], int]]:
-    """Map one read to its consistent runs: [(contig path, #windows)],
-    in read order.
+) -> list[Run]:
+    """Map one read to its consistent runs (in read order).
 
     A run is a maximal stretch of consecutive windows whose k-mers are
     alive.  Note: consecutive alive windows are automatically
@@ -67,32 +85,32 @@ def thread_read_runs(
         return []
     hits = [contig_of_kmer.get(int(v)) for v in kmers]
 
-    runs: list[tuple[list[int], int]] = []
+    runs: list[Run] = []
     cur: list[int] = []
-    cur_w = 0
+    cur_p0 = cur_o0 = 0
     prev: tuple[int, int] | None = None
 
-    def flush() -> None:
-        nonlocal cur, cur_w
-        if cur_w:
-            runs.append((cur, cur_w))
-        cur, cur_w = [], 0
+    def flush(p1: int, o1: int) -> None:
+        nonlocal cur
+        if cur:
+            runs.append(Run(path=cur, p0=cur_p0, p1=p1, o0=cur_o0, o1=o1))
+        cur = []
 
-    for h in hits:
+    last_pos_off = (0, 0)
+    for j, h in enumerate(hits):
         if h is None:
-            flush()
+            flush(*last_pos_off)
             prev = None
             continue
         cid, off = h
         if prev is None:
             cur = [cid]
-            cur_w = 1
-        else:
-            cur_w += 1
-            if off == 0:
-                cur.append(cid)  # crossing a contig boundary
+            cur_p0, cur_o0 = j, off
+        elif off == 0:
+            cur.append(cid)  # crossing a contig boundary
         prev = (cid, off)
-    flush()
+        last_pos_off = (j, off)
+    flush(*last_pos_off)
     return runs
 
 
@@ -107,21 +125,96 @@ def thread_read(
     runs = thread_read_runs(codes, k, contig_of_kmer, graph)
     best: list[int] = []
     best_w = 0
-    for path, w in runs:
-        if w > best_w:
-            best, best_w = path, w
+    for r in runs:
+        if r.windows > best_w:
+            best, best_w = r.path, r.windows
     return best
 
 
-def join_pair_paths(
-    pl: list[int], pr: list[int], graph: ContigGraph
+def _klen_of(graph: ContigGraph, cid: int) -> int:
+    """#member k-mers of a contig (transcript distance it contributes)."""
+    kl = getattr(graph, "_klen", None)
+    if kl is not None:
+        return kl[cid]
+    return len(graph.contigs[cid].seq) - graph.k + 1
+
+
+class InsertStats(NamedTuple):
+    mean: float
+    sigma: float
+
+
+def estimate_insert_stats(
+    pairs: list[tuple[Run, Run, int, int]],
+    graph: ContigGraph,
+    config: AssemblyConfig,
+) -> InsertStats | None:
+    """Insert-size distribution: configured (config.insert_size > 0) or
+    estimated from pairs whose facing anchor windows land in the SAME
+    contig (fragment length is then exact: o2 - o1 + p1 - p2 + r2).
+    Estimator: weighted median + 1.4826*MAD (robust to mis-joins).
+    None when neither is available (joining then falls back to the
+    uncapped direct-edge rule)."""
+    if config.insert_size > 0:
+        sigma = (
+            float(config.insert_size_std)
+            if config.insert_size_std > 0
+            else 0.1 * config.insert_size
+        )
+        return InsertStats(float(config.insert_size), sigma)
+    frags: list[int] = []
+    weights: list[int] = []
+    for rl, rr, r2, w in pairs:
+        if rl.path[-1] != rr.path[0]:
+            continue
+        frag = (rr.o0 - rl.o1) + rl.p1 - rr.p0 + r2
+        if frag >= r2:  # mates in order; junk anchors excluded
+            frags.append(frag)
+            weights.append(w)
+    if sum(weights) < 8:
+        return None
+    order = np.argsort(frags, kind="stable")
+    fa = np.asarray(frags, dtype=np.float64)[order]
+    wa = np.asarray(weights, dtype=np.float64)[order]
+    cw = np.cumsum(wa)
+    med = float(fa[np.searchsorted(cw, 0.5 * cw[-1])])
+    dev = np.abs(fa - med)
+    dorder = np.argsort(dev, kind="stable")
+    cwd = np.cumsum(wa[dorder])
+    mad = float(dev[dorder][np.searchsorted(cwd, 0.5 * cwd[-1])])
+    sigma = max(1.4826 * mad, 0.05 * med, 1.0)
+    return InsertStats(med, sigma)
+
+
+def join_pair_runs(
+    rl: Run,
+    rr: Run,
+    r2: int,
+    graph: ContigGraph,
+    config: AssemblyConfig,
+    stats: InsertStats | None,
 ) -> list[int] | None:
-    """Join mate paths (both already in transcript orientation — mate 2
-    is reverse-complemented at ingest).  Prefers the largest contig-level
-    overlap (suffix of pl == prefix of pr); falls back to a gap join when
-    an edge pl[-1] -> pr[0] exists (fragment gap shorter than a contig —
-    the paired-end 'long context' bridge, SURVEY.md §6).  None if the
-    paths neither overlap nor connect."""
+    """Join the facing runs of a mate pair (both already in transcript
+    orientation — mate 2 is reverse-complemented at ingest).
+
+    1. Largest contig-level overlap (suffix of pl == prefix of pr):
+       direct shared evidence, always accepted.
+    2. Gap join through <= config.pair_gap_nodes intermediate contigs:
+       the implied fragment length
+           frag = (klen(pl[-1]) - o1) + sum klen(gap) + o2 + p1 - p2 + r2
+       must fit the insert distribution — a direct-edge join (0
+       intermediates) is rejected above mean + s*sigma, a multi-node
+       join (asserting unseen sequence) must land inside
+       [mean - s*sigma, mean + s*sigma].  Among feasible gap paths the
+       fragment closest to the mean wins; two DIFFERENT gaps at the
+       same distance are ambiguous evidence -> no join.  Without
+       insert stats only the direct-edge join is attempted (uncapped
+       legacy rule).
+    None if the paths neither overlap nor admit a feasible gap join.
+    Reference contract: SURVEY.md §3.1 'Multibridging' (paired-end
+    mates, with insert-size constraints, bridge longer repeats) and §6
+    'long context'."""
+    pl, pr = rl.path, rr.path
     if not pl or not pr:
         return None
     for t in range(len(pl)):
@@ -130,30 +223,68 @@ def join_pair_paths(
             return pl + pr[m:]
         if m > len(pr) and pl[t : t + len(pr)] == pr:
             return pl  # mate 2 entirely inside mate 1's path
-    if pr[0] in graph.out_edges[pl[-1]]:
-        return pl + pr
-    return None
+    c1, c2 = pl[-1], pr[0]
+    if stats is None:
+        if c2 in graph.out_edges[c1]:
+            return pl + pr
+        return None
+    s = config.insert_cap_sigmas
+    lo, hi = stats.mean - s * stats.sigma, stats.mean + s * stats.sigma
+    base = _klen_of(graph, c1) - rl.o1 + rr.o0 + rl.p1 - rr.p0 + r2
+    # bounded DFS over simple gap paths c1 -> g_1..g_m -> c2
+    best: tuple[float, tuple[int, ...]] | None = None
+    tied = False
+    stack: list[tuple[int, tuple[int, ...], int]] = [(c1, (), 0)]
+    while stack:
+        u, gap, glen = stack.pop()
+        for v in graph.out_edges[u]:
+            if v == c2:
+                frag = base + glen
+                if frag <= hi and (len(gap) == 0 or frag >= lo):
+                    key = (abs(frag - stats.mean), gap)
+                    if best is None or key[0] < best[0]:
+                        best, tied = key, False
+                    elif key[0] == best[0] and gap != best[1]:
+                        tied = True  # distinct gaps, equal geometry
+            if (
+                len(gap) < config.pair_gap_nodes
+                and v != c1
+                and v != c2
+                and v not in gap
+            ):
+                nglen = glen + _klen_of(graph, v)
+                if base + nglen <= hi:  # prune: fragment only grows
+                    stack.append((v, gap + (v,), nglen))
+    if best is None or tied:
+        return None
+    return pl + list(best[1]) + pr
 
 
 def expand_paths(
-    raw_runs: list[list[list[int]]],
+    raw_runs: list[list[Run]],
     graph: ContigGraph,
     config: AssemblyConfig,
     paired: bool = False,
     weights: list[int] | None = None,
+    read_lengths: list[int] | None = None,
 ) -> tuple[list[list[int]], list[int]]:
-    """Per-read run lists (aligned with reads; [] = unthreadable) ->
+    """Per-read Run lists (aligned with reads; [] = unthreadable) ->
     (evidence path list, per-path multiplicities):
 
       * every run is evidence (read rescue);
       * for pairs, the facing ends (last run of mate 1, first run of
-        mate 2 — both already transcript-oriented) are joined where
-        possible, bridging repeats longer than a read;
+        mate 2 — both already transcript-oriented) are joined under the
+        insert-size constraint (join_pair_runs), bridging repeats
+        longer than a read; the insert distribution comes from config
+        or is estimated from same-contig pairs (estimate_insert_stats);
       * in canonical mode each path's RC twin is added so both
         orientation copies of the graph receive identical evidence;
       * `weights` (aligned with raw_runs; mates of a deduped pair carry
         equal weight) lets callers pass pre-deduplicated rows — every
-        emitted path inherits its source read's multiplicity.
+        emitted path inherits its source read's multiplicity;
+      * `read_lengths` (aligned with raw_runs) feeds fragment-length
+        computation; without it pair joining falls back to the
+        uncapped direct-edge rule.
 
     Shared by the oracle and device threading backends."""
     out: list[list[int]] = []
@@ -170,17 +301,32 @@ def expand_paths(
             out.append([graph.rc_pair[c] for c in reversed(p)])
             out_w.append(w)
 
-    def emit_all(runs: list[list[int]], w: int) -> None:
-        for p in runs:
-            emit(p, w)
+    def emit_all(runs: list[Run], w: int) -> None:
+        for r in runs:
+            emit(r.path, w)
 
     if paired and config.use_pairs:
+        facing: list[tuple[Run, Run, int, int]] = []
+        for i in range(0, len(raw_runs) - 1, 2):
+            rl, rr = raw_runs[i], raw_runs[i + 1]
+            if rl and rr and read_lengths is not None:
+                facing.append(
+                    (rl[-1], rr[0], read_lengths[i + 1], weights[i])
+                )
+        stats = (
+            estimate_insert_stats(facing, graph, config)
+            if read_lengths is not None
+            else None
+        )
         for i in range(0, len(raw_runs) - 1, 2):
             rl, rr = raw_runs[i], raw_runs[i + 1]
             w = weights[i]
-            joined = (
-                join_pair_paths(rl[-1], rr[0], graph) if rl and rr else None
-            )
+            joined = None
+            if rl and rr:
+                r2 = read_lengths[i + 1] if read_lengths is not None else 0
+                joined = join_pair_runs(
+                    rl[-1], rr[0], r2, graph, config, stats
+                )
             if joined is not None:
                 emit_all(rl[:-1], w)
                 emit(joined, w)
@@ -205,19 +351,21 @@ def thread_reads(
     """Thread every read and expand to evidence (paths, weights)
     (rescue + pair joining + RC twins per expand_paths)."""
     contig_of_kmer = graph._contig_of_kmer  # type: ignore[attr-defined]
-    raw: list[list[list[int]]] = []
+    raw: list[list[Run]] = []
     for codes in read_codes:
         runs = thread_read_runs(codes, config.k, contig_of_kmer, graph)
         if not config.rescue_reads:
-            best: list[int] = []
-            best_w = 0
-            for path, w in runs:
-                if w > best_w:
-                    best, best_w = path, w
-            raw.append([best] if best else [])
+            best: Run | None = None
+            for r in runs:
+                if best is None or r.windows > best.windows:
+                    best = r
+            raw.append([best] if best is not None else [])
         else:
-            raw.append([path for path, _w in runs])
-    return expand_paths(raw, graph, config, paired)
+            raw.append(runs)
+    return expand_paths(
+        raw, graph, config, paired,
+        read_lengths=[len(c) for c in read_codes],
+    )
 
 
 def _evidence_at(g: NodeGraph) -> dict[int, Counter]:

@@ -1,0 +1,151 @@
+"""Component-scheduled assembly back-half — the live consumer of the
+device partitioner (SURVEY.md §3.2 row 2: GPMETIS -> on-device
+components; §3.3 row 2: task parallelism over graph components).
+
+The reference cuts the contig graph with GPMETIS and fans per-component
+MB+SF jobs across a process pool.  Here the partition comes from the
+device label-propagation kernel (ops/partition.connected_components)
+and the "pool" is bucket scheduling: components are grouped into padded
+size classes (ops/partition.bucket_components), each bucket's
+components are assembled as one merged subgraph (MB/SF are
+component-local by construction, so any grouping of whole components
+yields the identical transcript multiset — tested), and each bucket
+stops iterating as soon as ITS components converge instead of
+inheriting the whole graph's round count.  Single-node edge-free
+components (the bulk of a resolved transcriptome: one contig per
+strand) skip graph mutation entirely and emit their transcript
+directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from shannon_tpu.config import AssemblyConfig
+from shannon_tpu.oracle.assemble import (
+    Transcript,
+    enumerate_transcripts,
+)
+from shannon_tpu.oracle.multibridge import multibridge
+from shannon_tpu.oracle.nodegraph import Node, NodeGraph
+from shannon_tpu.oracle.sparseflow import sparse_flow
+
+
+def device_components(ca) -> list[list[int]]:
+    """Weakly-connected components of the device contig graph, computed
+    on device (ops/partition.connected_components); oracle-format
+    component lists, identical to ContigGraph.components() (tested)."""
+    from shannon_tpu.ops.partition import (
+        components_to_lists,
+        connected_components,
+    )
+
+    labels = connected_components(ca)
+    return components_to_lists(np.asarray(labels), int(ca.n_contigs))
+
+
+def _subgraph(
+    g: NodeGraph, node_ids: list[int], path_idx: list[int]
+) -> NodeGraph:
+    """Induced subgraph over node_ids with the given evidence paths,
+    ids remapped to dense [0, len(node_ids))."""
+    remap = {v: i for i, v in enumerate(node_ids)}
+    nodes = [
+        Node(
+            seq=g.nodes[v].seq,
+            abundance=g.nodes[v].abundance,
+            klen=g.nodes[v].klen,
+            out=[remap[w] for w in g.nodes[v].out],
+            inc=[remap[w] for w in g.nodes[v].inc],
+        )
+        for v in node_ids
+    ]
+    weights = g.path_weight_list()
+    sub = NodeGraph(k=g.k, nodes=nodes, paths=[])
+    sub.set_paths(
+        [[remap[x] for x in g.paths[i]] for i in path_idx],
+        [weights[i] for i in path_idx],
+    )
+    return sub
+
+
+def assemble_components(
+    g: NodeGraph,
+    comps: list[list[int]],
+    config: AssemblyConfig,
+    solver=None,
+    bucket_edges: tuple[int, ...] = (1, 2, 4, 16, 64, 256),
+) -> tuple[list[Transcript], int, int, bool]:
+    """MB + SF + transcript enumeration scheduled per component bucket.
+
+    Returns (raw transcripts, n_mb_splits, n_sf_splits, truncated,
+    phase_s) — the same output as running multibridge/sparse_flow/
+    enumerate_transcripts on the whole graph (identical transcript
+    multiset; MB and SF use only component-local evidence, so the
+    grouping is free to choose).  comps must be the weakly-connected
+    components of g (device partitioner or ContigGraph.components()).
+    phase_s accumulates per-phase wall-clock across buckets.
+    """
+    import time
+
+    from shannon_tpu.ops.partition import bucket_components
+
+    # component id per node -> per path (a path never leaves its
+    # component: every step follows an edge)
+    comp_of: dict[int, int] = {}
+    for ci, comp in enumerate(comps):
+        for v in comp:
+            comp_of[v] = ci
+    paths_of_comp: dict[int, list[int]] = {}
+    for pi, p in enumerate(g.paths):
+        ci = comp_of.get(p[0])
+        if ci is not None:
+            paths_of_comp.setdefault(ci, []).append(pi)
+
+    transcripts: list[Transcript] = []
+    n_mb = n_sf = 0
+    truncated = False
+    phase_s = {"multibridge": 0.0, "sparseflow": 0.0, "enumerate": 0.0}
+
+    # fast path: single-node, edge-free components emit directly
+    trivial: list[int] = []
+    complex_comps: list[list[int]] = []
+    for ci, comp in enumerate(comps):
+        v = comp[0]
+        if (
+            len(comp) == 1
+            and not g.nodes[v].out
+            and not g.nodes[v].inc
+        ):
+            trivial.append(ci)
+        else:
+            complex_comps.append(ci)
+    for ci in trivial:
+        node = g.nodes[comps[ci][0]]
+        transcripts.append(Transcript(seq=node.seq, abundance=node.abundance))
+
+    # bucket the remaining components by size and assemble each bucket
+    # as one merged subgraph (components stay independent inside it)
+    sizes = [len(comps[ci]) for ci in complex_comps]
+    buckets = bucket_components(sizes, bucket_edges)
+    for edge in sorted(buckets, key=lambda e: (e == 0, e)):
+        members = buckets[edge]
+        node_ids = [v for m in members for v in comps[complex_comps[m]]]
+        path_idx = [
+            i
+            for m in members
+            for i in paths_of_comp.get(complex_comps[m], [])
+        ]
+        sub = _subgraph(g, node_ids, path_idx)
+        t0 = time.perf_counter()
+        n_mb += multibridge(sub, config)
+        t1 = time.perf_counter()
+        n_sf += sparse_flow(sub, config, solver=solver)
+        t2 = time.perf_counter()
+        ts, tr = enumerate_transcripts(sub, config)
+        phase_s["multibridge"] += t1 - t0
+        phase_s["sparseflow"] += t2 - t1
+        phase_s["enumerate"] += time.perf_counter() - t2
+        transcripts.extend(ts)
+        truncated = truncated or tr
+    return transcripts, n_mb, n_sf, truncated, phase_s

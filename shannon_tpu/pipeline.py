@@ -142,22 +142,28 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
                 padn = rows - (e - s)
                 codes = np.pad(codes, ((0, padn), (0, 0)), constant_values=4)
                 lengths = np.pad(lengths, (0, padn))
-        ev_cid, ev_run, n_events, run_w = thread_reads_device(
-            jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
+        ev_cid, ev_run, n_events, r_p0, r_p1, r_o0, r_o1 = (
+            thread_reads_device(
+                jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
+            )
         )
-        W, R = ev_cid.shape[1], run_w.shape[1]
+        W, R = ev_cid.shape[1], r_p0.shape[1]
         part = np.hstack(
             [
                 np.asarray(ev_cid, np.int32),
                 np.asarray(ev_run, np.int32),
                 np.asarray(n_events, np.int32)[:, None],
-                np.asarray(run_w, np.int32),
+                np.asarray(r_p0, np.int32),
+                np.asarray(r_p1, np.int32),
+                np.asarray(r_o0, np.int32),
+                np.asarray(r_o1, np.int32),
+                np.asarray(lengths, np.int32)[:, None],
             ]
         )
         rows_parts.append(part[: e - s])
     if not rows_parts:
         return expand_paths([], cgraph, config, paired=batch.paired)
-    rows_all = np.vstack(rows_parts)  # [N, 2W + 1 + R] per read
+    rows_all = np.vstack(rows_parts)  # [N, 2W + 1 + 4R + 1] per read
     ncol = rows_all.shape[1]
     # pairs dedup as units so mate weights stay aligned
     group = 2 if (batch.paired and config.use_pairs) else 1
@@ -170,16 +176,22 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
     order = np.argsort(first, kind="stable")  # keep first-occurrence order
     uniq, counts = uniq[order], counts[order]
     urows = uniq.reshape(-1, ncol)
+    c = 2 * W + 1
     raw = paths_to_lists(
-        urows[:, :W],                 # ev_cid
-        urows[:, W : 2 * W],          # ev_run
-        urows[:, 2 * W],              # n_events
-        urows[:, 2 * W + 1 :],        # run_windows
+        urows[:, :W],                  # ev_cid
+        urows[:, W : 2 * W],           # ev_run
+        urows[:, 2 * W],               # n_events
+        urows[:, c : c + R],           # run_p0
+        urows[:, c + R : c + 2 * R],   # run_p1
+        urows[:, c + 2 * R : c + 3 * R],  # run_o0
+        urows[:, c + 3 * R : c + 4 * R],  # run_o1
         rescue=config.rescue_reads,
     )
     weights = np.repeat(counts, group).astype(int).tolist()
+    read_lengths = urows[:, c + 4 * R].astype(int).tolist()
     return expand_paths(
-        raw, cgraph, config, paired=batch.paired, weights=weights
+        raw, cgraph, config, paired=batch.paired, weights=weights,
+        read_lengths=read_lengths,
     )
 
 
@@ -202,12 +214,25 @@ def normalize_mate2(reads: list[str]) -> list[str]:
     """Flip interleaved mate-2 reads ([L0, R0, L1, R1, ...]) into
     transcript orientation (FR protocol: mate 2 is sequenced from the
     opposite strand).  Applied at ingest so counting (strand-specific
-    mode) and threading see both mates on the same strand."""
-    from shannon_tpu.io.dna import revcomp_str
+    mode) and threading see both mates on the same strand.  Runs through
+    the same vectorized code-space RC as the file-ingest path
+    (io.dna.revcomp_code_rows) so the two ingest routes cannot diverge."""
+    from shannon_tpu.io.dna import decode_seq, encode_seq, revcomp_code_rows
 
+    mates = reads[1::2]
+    if not mates:
+        return list(reads)
+    pad = max(len(s) for s in mates)
+    codes = np.full((len(mates), max(pad, 1)), 4, dtype=np.uint8)
+    lengths = np.zeros(len(mates), dtype=np.int32)
+    for i, s in enumerate(mates):
+        enc = encode_seq(s)
+        codes[i, : len(enc)] = enc
+        lengths[i] = len(enc)
+    rc = revcomp_code_rows(codes, lengths)
     out = list(reads)
-    for i in range(1, len(out), 2):
-        out[i] = revcomp_str(out[i])
+    for i, li in enumerate(lengths):
+        out[2 * i + 1] = decode_seq(rc[i, :li])
     return out
 
 
@@ -229,12 +254,15 @@ def assemble(
         reads = normalize_mate2(reads)
 
     if backend == "device":
+        from shannon_tpu.parallel.components import device_components
+
         with timer.stage("spectrum+graph", n_reads=len(reads)):
             batch = pack_reads(
                 reads, pad_length=config.read_pad_length, paired=paired
             )
             cgraph, n_alive, ca = _graph_device(batch, config)
-        comps = cgraph.components()
+        with timer.stage("partition"):
+            comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
             paths, path_weights = _thread_device(batch, ca, cgraph, config)
     elif backend == "oracle":
@@ -255,10 +283,25 @@ def assemble(
 
     with timer.stage("assembly"):
         g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
-        n_mb = multibridge(g, config)
-        n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
-        transcripts, truncated = enumerate_transcripts(g, config)
-        final = dedupe_and_filter(transcripts, config)
+        if backend == "device":
+            # bucket-scheduled per-component back-half (the GNU-parallel
+            # replacement; identical output to the whole-graph oracle path)
+            from shannon_tpu.parallel.components import assemble_components
+
+            transcripts, n_mb, n_sf, truncated, phase_s = assemble_components(
+                g, comps, config, solver=_sf_solver(backend)
+            )
+            for name, secs in phase_s.items():
+                timer.note(name, wall_s=round(secs, 3))
+        else:
+            with timer.stage("multibridge"):
+                n_mb = multibridge(g, config)
+            with timer.stage("sparseflow"):
+                n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
+            with timer.stage("enumerate"):
+                transcripts, truncated = enumerate_transcripts(g, config)
+        with timer.stage("dedupe"):
+            final = dedupe_and_filter(transcripts, config)
 
     stats = {
         "n_reads": len(reads),
@@ -308,7 +351,6 @@ def run_pipeline(
         timer.note("ingest", skipped=True, n_reads=batch.n_reads)
     else:
         with timer.stage("ingest"):
-            from shannon_tpu.io.dna import BASE_INVALID
             from shannon_tpu.native import pack_file
 
             if single is not None:
@@ -322,25 +364,15 @@ def run_pipeline(
                         f"{br.n_reads}"
                     )
                 # interleave rows [L0, R0, ...] and normalize mate 2 to
-                # transcript orientation (revcomp in code space)
+                # transcript orientation (shared vectorized code-space RC)
+                from shannon_tpu.io.dna import revcomp_code_rows
+
                 n = bl.n_reads
                 codes = np.empty((2 * n, config.read_pad_length), np.uint8)
                 lengths = np.empty(2 * n, np.int32)
                 codes[0::2] = bl.codes
                 lengths[0::2] = bl.lengths
-                # vectorized ragged reverse-complement: full-row reverse,
-                # then rotate each row left by (pad - length) to slide
-                # the reversed bases back to the front
-                pad = config.read_pad_length
-                rev = br.codes[:, ::-1]
-                cols = (
-                    np.arange(pad, dtype=np.int64)[None, :]
-                    + (pad - br.lengths.astype(np.int64))[:, None]
-                ) % pad
-                rc = np.take_along_axis(rev, cols, axis=1)
-                valid = rc < 4
-                rc = np.where(valid, 3 - rc, BASE_INVALID).astype(np.uint8)
-                codes[1::2] = rc
+                codes[1::2] = revcomp_code_rows(br.codes, br.lengths)
                 lengths[1::2] = br.lengths
                 batch = ReadBatch(codes=codes, lengths=lengths, paired=True)
             else:
@@ -436,6 +468,10 @@ def run_pipeline(
                     spec, config.k, canonical=not config.strand_specific
                 )
                 cgraph = to_contig_graph(ca, config.k, config)
+            with timer.stage("partition"):
+                from shannon_tpu.parallel.components import device_components
+
+                comps = device_components(ca)
             with timer.stage("threading"):
                 paths, path_weights = _thread_device(batch, ca, cgraph, config)
         else:
@@ -445,6 +481,7 @@ def run_pipeline(
                         int(k): int(c) for k, c in zip(keys, vals)
                     }
                 cgraph = build_contigs(alive, config)
+                comps = cgraph.components()
             with timer.stage("threading"):
                 read_codes = [encode_seq(s) for s in batch.sequences()]
                 paths, path_weights = thread_reads(
@@ -452,9 +489,22 @@ def run_pipeline(
                 )
         with timer.stage("assembly"):
             g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
-            n_mb = multibridge(g, config)
-            n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
-            transcripts_all, truncated = enumerate_transcripts(g, config)
+            if backend == "device":
+                from shannon_tpu.parallel.components import (
+                    assemble_components,
+                )
+
+                (
+                    transcripts_all, n_mb, n_sf, truncated, phase_s,
+                ) = assemble_components(
+                    g, comps, config, solver=_sf_solver(backend)
+                )
+                for name, secs in phase_s.items():
+                    timer.note(name, wall_s=round(secs, 3))
+            else:
+                n_mb = multibridge(g, config)
+                n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
+                transcripts_all, truncated = enumerate_transcripts(g, config)
             final = dedupe_and_filter(transcripts_all, config)
         write_fasta(
             fasta,
@@ -469,7 +519,7 @@ def run_pipeline(
                 "n_reads": batch.n_reads,
                 "n_kmers_final": len(keys),
                 "n_contigs": cgraph.n,
-                "n_components": len(cgraph.components()),
+                "n_components": len(comps),
                 "n_mb_splits": n_mb,
                 "n_sf_splits": n_sf,
                 "n_transcripts": len(final),

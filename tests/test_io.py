@@ -89,3 +89,30 @@ def test_pad_to():
     assert b.n_reads == 5
     assert b.lengths.tolist() == [4, 0, 0, 0, 0]
     assert (b.codes[1:] == BASE_INVALID).all()
+
+
+def test_revcomp_code_rows_matches_per_read(rng):
+    """The vectorized ragged RC (the single mate-2 normalizer) must be
+    row-for-row identical to the scalar revcomp_codes."""
+    from shannon_tpu.io.dna import BASE_INVALID, revcomp_code_rows, revcomp_codes
+
+    n, pad = 64, 37
+    lengths = rng.integers(0, pad + 1, size=n).astype(np.int32)
+    codes = np.full((n, pad), BASE_INVALID, dtype=np.uint8)
+    for i, li in enumerate(lengths):
+        codes[i, :li] = rng.integers(0, 5, size=li)  # includes invalid bases
+    rc = revcomp_code_rows(codes, lengths)
+    for i, li in enumerate(lengths):
+        assert (rc[i, :li] == revcomp_codes(codes[i, :li])).all()
+        assert (rc[i, li:] == BASE_INVALID).all()
+
+
+def test_normalize_mate2_matches_string_rc():
+    from shannon_tpu.io.dna import revcomp_str
+    from shannon_tpu.pipeline import normalize_mate2
+
+    reads = ["ACGTACGT", "TTGCA", "GATTACA", "CCNGTT"]
+    out = normalize_mate2(reads)
+    assert out[0] == reads[0] and out[2] == reads[2]
+    assert out[1] == revcomp_str(reads[1])
+    assert out[3] == revcomp_str(reads[3])

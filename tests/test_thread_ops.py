@@ -38,11 +38,13 @@ def _both_graphs(reads, cfg, cap=1 << 16):
 
 
 def _dev_evidence(b, ca, dev_graph, cfg):
-    ev_cid, ev_run, n_ev, run_w = thread_reads_device(
+    outs = thread_reads_device(
         jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
     )
-    raw = paths_to_lists(ev_cid, ev_run, n_ev, run_w, rescue=cfg.rescue_reads)
-    return expand_paths(raw, dev_graph, cfg)[0]
+    raw = paths_to_lists(*outs, rescue=cfg.rescue_reads)
+    return expand_paths(
+        raw, dev_graph, cfg, read_lengths=[int(x) for x in b.lengths]
+    )[0]
 
 
 def _as_seq_paths(paths, graph):
@@ -101,7 +103,7 @@ def test_threading_no_hits(rng):
     cfg = AssemblyConfig(k=21)
     b, ca, dev_graph, orc_graph = _both_graphs(reads, cfg)
     alien = pack_reads([random_seq(np.random.default_rng(1), 60)] * 4, 60)
-    ev_cid, ev_run, n_ev, run_w = thread_reads_device(
+    outs = thread_reads_device(
         jnp.asarray(alien.codes), jnp.asarray(alien.lengths), ca, cfg.k
     )
-    assert paths_to_lists(ev_cid, ev_run, n_ev, run_w) == [[], [], [], []]
+    assert paths_to_lists(*outs) == [[], [], [], []]

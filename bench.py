@@ -1,21 +1,31 @@
-"""Benchmark: k-mer counting throughput on the real device vs the
-Python reference counter (BASELINE.md measurement plan).
+"""Benchmark: k-mer counting throughput AND end-to-end assembly
+throughput on the real device vs the Python reference (BASELINE.md
+measurement plan: "k-mer counting + end-to-end assembly throughput
+>=10x reads/s over the Python+Jellyfish reference").
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R, ...}
+  {"metric": "e2e_assembly_throughput", "value": N, "unit": "reads/s",
+   "vs_baseline": R, "counting": {...}, "stages_s": {...}, ...}
 
-The metric is steady-state reads/s of the device spectrum kernel
-(extract + sort + segment-reduce, k=24) on 100bp reads — the hot loop
-the reference delegates to Jellyfish (SURVEY.md §4.1 HOT LOOP #1).
-vs_baseline divides by the pure-Python dict counter's reads/s measured
-on the same machine (the 'Python+Jellyfish reference' denominator
-available here: the Jellyfish binary does not exist in this image, so
-the Python-side counter stands in — recorded via "baseline" field).
+The primary metric is end-to-end assembly reads/s (ingest-packed reads
+-> spectrum -> graph -> partition -> threading -> MB -> SF ->
+transcripts) on a simulated 500-transcript log-normal-abundance
+dataset; vs_baseline divides by the pure-Python oracle pipeline's
+reads/s measured on a subset of the same data (the reference
+denominator available here: the Jellyfish binary does not exist in
+this image — recorded via the "baseline" field).  The counting-kernel
+steady-state number (the reference's HOT LOOP #1) is carried in
+"counting" with its own vs_baseline.
+
+Set SHANNON_BENCH_E2E_READS to change the e2e dataset size (default
+250_000; first run on a cold machine pays multi-minute XLA remote
+compiles, later runs hit ~/.cache/shannon_tpu/jax).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,10 +33,25 @@ import numpy as np
 
 K = 24
 READ_LEN = 100
-N_READS = 1 << 16  # reads per device batch
+N_READS = 1 << 16  # reads per device batch (counting benchmark)
 CAPACITY = 1 << 22
 PY_BASELINE_READS = 2000
+E2E_READS = int(os.environ.get("SHANNON_BENCH_E2E_READS", 250_000))
+E2E_ORACLE_READS = 20_000
 ITERS = 5
+
+
+def _simulate(rng, n_reads: int, n_tr: int = 500, tlen: int = 1500):
+    from shannon_tpu.sim import sample_reads, simulate_transcripts
+
+    cov = n_reads * READ_LEN / (n_tr * tlen)
+    abund = np.exp(rng.normal(0, 1, n_tr))
+    ts = simulate_transcripts(rng, n=n_tr, length=tlen)
+    reads = sample_reads(
+        rng, ts, abundances=(abund / abund.mean()).tolist(), coverage=cov,
+        read_length=READ_LEN, error_rate=0.01,
+    )
+    return ts, reads
 
 
 def main() -> None:
@@ -37,10 +62,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from shannon_tpu.config import AssemblyConfig
     from shannon_tpu.io.pack import pack_reads
     from shannon_tpu.ops.count import count_spectrum
     from shannon_tpu.oracle.counting import count_kmers_pure_python
+    from shannon_tpu.pipeline import assemble
     from shannon_tpu.sim import random_seq, sample_reads, simulate_transcripts
+    from shannon_tpu.utils.timing import StageTimer
 
     rng = np.random.default_rng(7)
     # realistic k-mer multiplicity: reads drawn from a transcriptome
@@ -55,7 +83,7 @@ def main() -> None:
     codes = jnp.asarray(batch.codes)
     lengths = jnp.asarray(batch.lengths)
 
-    # --- device steady-state ------------------------------------------
+    # --- counting kernel steady-state ----------------------------------
     spec = count_spectrum(codes, lengths, K, CAPACITY)  # compile (cached)
     spec.hi.block_until_ready()
     t0 = time.perf_counter()
@@ -63,30 +91,62 @@ def main() -> None:
         spec = count_spectrum(codes, lengths, K, CAPACITY)
     spec.hi.block_until_ready()
     dt = (time.perf_counter() - t0) / ITERS
-    device_reads_s = N_READS / dt
+    count_reads_s = N_READS / dt
 
-    # --- python reference counter -------------------------------------
+    # --- python reference counter ---------------------------------------
     sub = reads[:PY_BASELINE_READS]
     t0 = time.perf_counter()
     count_kmers_pure_python(sub, K)
-    py_dt = time.perf_counter() - t0
-    py_reads_s = len(sub) / py_dt
+    py_reads_s = len(sub) / (time.perf_counter() - t0)
 
-    n_kmers = int(spec.n)
+    # --- end-to-end assembly (device) -----------------------------------
+    rng2 = np.random.default_rng(11)
+    _, e2e_reads = _simulate(rng2, E2E_READS)
+    cfg = AssemblyConfig()
+    timer = StageTimer(echo=False)
+    t0 = time.perf_counter()
+    res = assemble(e2e_reads, cfg, backend="device", timer=timer)
+    e2e_dt = time.perf_counter() - t0
+    e2e_reads_s = len(e2e_reads) / e2e_dt
+    stages = {
+        name: rec.get("wall_s")
+        for name, rec in timer.stages.items()
+        if "wall_s" in rec
+    }
+
+    # --- oracle e2e denominator on a subset of the same data ------------
+    rng3 = np.random.default_rng(11)
+    _, oracle_reads = _simulate(rng3, E2E_ORACLE_READS)
+    t0 = time.perf_counter()
+    assemble(oracle_reads, cfg, backend="oracle")
+    oracle_reads_s = len(oracle_reads) / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
-                "metric": "kmer_count_throughput",
-                "value": round(device_reads_s, 1),
+                "metric": "e2e_assembly_throughput",
+                "value": round(e2e_reads_s, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(device_reads_s / py_reads_s, 2),
-                "baseline": "pure-Python dict counter (Jellyfish binary unavailable)",
-                "baseline_reads_per_s": round(py_reads_s, 1),
-                "batch_ms": round(dt * 1e3, 2),
+                "vs_baseline": round(e2e_reads_s / oracle_reads_s, 2),
+                "baseline": (
+                    "pure-Python oracle pipeline (Jellyfish binary "
+                    f"unavailable), {E2E_ORACLE_READS} reads subset"
+                ),
+                "baseline_reads_per_s": round(oracle_reads_s, 1),
+                "e2e_reads": len(e2e_reads),
+                "e2e_wall_s": round(e2e_dt, 2),
+                "stages_s": stages,
+                "n_transcripts": res.stats["n_transcripts"],
+                "counting": {
+                    "reads_per_s": round(count_reads_s, 1),
+                    "vs_baseline": round(count_reads_s / py_reads_s, 2),
+                    "baseline_reads_per_s": round(py_reads_s, 1),
+                    "batch_ms": round(dt * 1e3, 2),
+                    "n_reads_batch": N_READS,
+                    "distinct_kmers": int(spec.n),
+                },
                 "k": K,
                 "read_len": READ_LEN,
-                "n_reads_batch": N_READS,
-                "distinct_kmers": n_kmers,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -110,6 +110,15 @@ class AssemblyConfig:
     contig.  Kept for high-coverage datasets where direct junction
     evidence may win."""
 
+    sf_block_tol: float = 0.02
+    """Sparse-flow exact-sparsest refinement: margins are partitioned
+    into the maximum number of balanced blocks (per-block row/col sum
+    imbalance <= this fraction of the node total) before the greedy
+    max-min decomposition runs per block — min #nonzeros over the
+    transport polytope is exactly m + n - max#blocks, which plain
+    greedy can overshoot (oracle/sparseflow.block_decompose).  0
+    disables (whole-node greedy, the pre-refinement behavior)."""
+
     sf_min_flow_frac: float = 0.02
     """Sparse-flow pairings carrying less than this fraction of the node's
     total flow are discarded as noise (the paper trims near-zero flows)."""

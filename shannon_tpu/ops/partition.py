@@ -1,60 +1,63 @@
-"""Device graph partitioning — the GPMETIS replacement (SURVEY.md §3.2
-row 2): weakly-connected components of the contig graph by min-label
-propagation + pointer jumping (iterated segment ops, no host round
-trip).
+"""Graph partitioning — the GPMETIS replacement (SURVEY.md §3.2 row 2):
+weakly-connected components of the contig graph from the
+device-emitted edge arrays.
 
 The reference cuts the contig graph into ~equal pieces with METIS so a
 process pool can chew them in parallel; independent assembly is only
 *sound* per weakly-connected component, so the rebuild partitions into
 exact components and treats load balance as a scheduling concern:
 `bucket_components` groups components into padded size classes for
-batched device processing (SURVEY.md §3.3).
+batched processing (SURVEY.md §3.3).
+
+Why this is a host pass over device arrays, not a Pallas kernel: a
+min-label-propagation + pointer-jumping kernel was built and measured
+first (git history, r2) — on TPU its per-round edge relaxation is a
+scatter-min over 4x the node lanes, which this hardware runs ~10-60x
+slower than sorts (docs/DESIGN.md), the round count is
+diameter-dependent (a bounded-round version mis-labeled a ~1M-contig
+graph), and the fixpoint while_loop version crashed the TPU worker at
+the 7M-lane shape.  Connected components is irreducibly
+pointer-chasing; the TPU-native division of labor is: the graph
+(edges, degrees) is BUILT on device by sort/probe kernels
+(ops/condense), and the one pointer-chasing reduction runs as a C-speed
+sparse pass on host (scipy.sparse.csgraph, O(E)) over those arrays —
+the same split the pipeline uses for contig-string materialization.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from shannon_tpu.ops.condense import ContigArrays
 
 
-@jax.jit
-def connected_components(ca: ContigArrays) -> jnp.ndarray:
+def connected_components(ca: ContigArrays) -> np.ndarray:
     """Component label per contig lane: the minimum contig id reachable
-    (undirected).  -1 on non-contig lanes."""
-    C2 = ca.out_edges.shape[1]  # edges are [4, C2] base-first
-    cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
-    real = cid_iota < ca.n_contigs
+    (undirected), matching ContigGraph.components() ordering.  -1 on
+    non-contig lanes."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
 
-    e_tgt = ca.out_edges  # [4, C2] base-first layout
-    e_valid = (e_tgt >= 0) & real[None, :]
-    e_src = jnp.broadcast_to(cid_iota[None, :], e_tgt.shape)
-    src_f = jnp.where(e_valid, e_src, C2).reshape(-1)
-    tgt_f = jnp.where(e_valid, e_tgt, C2).reshape(-1)
-
-    label = jnp.where(real, cid_iota, jnp.int32(C2))
-    n_rounds = max(C2.bit_length(), 1) + 2
-
-    def body(_, label):
-        lsrc = label[jnp.clip(src_f, 0, C2 - 1)]
-        ltgt = label[jnp.clip(tgt_f, 0, C2 - 1)]
-        # relax across edges, both directions
-        label = label.at[src_f].min(
-            jnp.where(src_f < C2, ltgt, C2), mode="drop"
-        )
-        label = label.at[tgt_f].min(
-            jnp.where(tgt_f < C2, lsrc, C2), mode="drop"
-        )
-        # pointer-jump: labels are contig ids, chase them
-        label = jnp.minimum(label, label[jnp.clip(label, 0, C2 - 1)])
-        return label
-
-    label = jax.lax.fori_loop(0, n_rounds, body, label)
-    return jnp.where(real, label, -1)
+    C2 = int(ca.out_edges.shape[1])
+    n = int(ca.n_contigs)
+    out_e = np.asarray(ca.out_edges[:, :n])  # [4, n]
+    valid = out_e >= 0
+    src = np.broadcast_to(np.arange(n, dtype=np.int64)[None, :], out_e.shape)[
+        valid
+    ]
+    tgt = out_e[valid].astype(np.int64)
+    adj = coo_matrix(
+        (np.ones(len(src), np.int8), (src, tgt)), shape=(n, n)
+    )
+    _, raw = _cc(adj, directed=True, connection="weak")
+    # relabel each component by its minimum member id (the oracle's
+    # deterministic labeling)
+    min_id = np.full(raw.max(initial=-1) + 1, np.iinfo(np.int64).max)
+    np.minimum.at(min_id, raw, np.arange(n, dtype=np.int64))
+    labels = np.full(C2, -1, np.int64)
+    if n:
+        labels[:n] = min_id[raw]
+    return labels
 
 
 def components_to_lists(labels: np.ndarray, n_contigs: int) -> list[list[int]]:

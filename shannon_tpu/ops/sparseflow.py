@@ -82,10 +82,14 @@ def batched_greedy(
 
 def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, list]:
     """Batched device solver for all X-nodes in xs; mirrors oracle
-    solve_node exactly (same margins, seeds, restart-selection,
-    threshold).  Oversized nodes (degree > MAXD) use the host solver."""
+    solve_node exactly (same block plan, margins, seeds,
+    restart-selection, threshold).  One batch row per (node, block,
+    restart).  Oversized nodes (degree > MAXD) use the host solver."""
+    from shannon_tpu.oracle.sparseflow import node_blocks
+
     R = config.sf_restarts
-    rows = []  # (v, ins, outs, a, b, s, node_seed)
+    K = R + 1
+    jobs = []  # (v, ins, outs, rows, cols, ab, bb, s, node_seed)
     result: dict[int, list] = {}
     for v in xs:
         ins, outs, a, b, s = _node_flows(g, v, edge_flows)
@@ -95,22 +99,25 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
         if len(ins) > MAXD or len(outs) > MAXD:
             result[v] = solve_node(g, v, config, edge_flows)
             continue
+        result[v] = []
         node_seed = fnv1a(g.nodes[v].seq.encode()) ^ config.seed
-        rows.append((v, ins, outs, a, b, s, node_seed))
-    if not rows:
+        for rows, cols, ab, bb in node_blocks(a, b, config, s):
+            jobs.append((v, ins, outs, rows, cols, ab, bb, s, node_seed))
+    if not jobs:
         return result
 
-    B = len(rows)
-    K = R + 1
+    B = len(jobs)
     a_pad = np.zeros((B * K, MAXD), np.float32)
     b_pad = np.zeros((B * K, MAXD), np.float32)
     seeds = np.zeros(B * K, np.uint32)
     use_hash = np.zeros(B * K, bool)
-    for bi, (v, ins, outs, a, b, s, node_seed) in enumerate(rows):
+    for bi, (v, ins, outs, brows, bcols, ab, bb, s, node_seed) in enumerate(
+        jobs
+    ):
         for r in range(K):
             row = bi * K + r
-            a_pad[row, : len(a)] = a
-            b_pad[row, : len(b)] = b
+            a_pad[row, : len(ab)] = ab
+            b_pad[row, : len(bb)] = bb
             if r > 0:
                 seeds[row] = np.uint32((node_seed + r) & 0xFFFFFFFF)
                 use_hash[row] = True
@@ -121,8 +128,10 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
         )
     )  # [B*K, MAXD, MAXD]
 
-    for bi, (v, ins, outs, a, b, s, node_seed) in enumerate(rows):
-        M, N = len(a), len(b)
+    for bi, (v, ins, outs, brows, bcols, ab, bb, s, node_seed) in enumerate(
+        jobs
+    ):
+        M, N = len(ab), len(bb)
         best_key = None
         best_F = None
         for r in range(K):
@@ -136,9 +145,8 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
             if best_key is None or key < best_key:
                 best_key, best_F = key, Fr
         thresh = np.float32(config.sf_min_flow_frac) * np.float32(s)
-        pairings = [
-            (ins[i], outs[j], float(best_F[i, j]))
+        result[v].extend(
+            (ins[brows[i]], outs[bcols[j]], float(best_F[i, j]))
             for i, j in zip(*np.nonzero(best_F >= thresh))
-        ]
-        result[v] = pairings
+        )
     return result

@@ -369,12 +369,133 @@ def thread_reads(
 
 
 def _evidence_at(g: NodeGraph) -> dict[int, Counter]:
+    """Bridging evidence per node: ev[v][(a, b)] = total weight of path
+    triples (a, v, b).  Vectorized over the flat path arrays — one
+    numpy pass + a loop over UNIQUE triples (graph-complexity-bound,
+    not path-volume-bound)."""
+    flat, offs, weights = g.flat_paths()
     ev: dict[int, Counter] = {}
-    for p, w in zip(g.paths, g.path_weight_list()):
-        for i in range(1, len(p) - 1):
-            a, v, b = p[i - 1], p[i], p[i + 1]
-            ev.setdefault(v, Counter())[(a, b)] += w
+    if len(flat) == 0:
+        return ev
+    lens = np.diff(offs)
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    pos_in = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+    interior = (pos_in >= 1) & (pos_in < np.repeat(lens, lens) - 1)
+    idx = np.nonzero(interior)[0]
+    if len(idx) == 0:
+        return ev
+    trip = np.stack([flat[idx], flat[idx - 1], flat[idx + 1]], axis=1)
+    uniq, inv = np.unique(trip, axis=0, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, weights[row_of[idx]])
+    for (v, a, b), s in zip(uniq.tolist(), sums.tolist()):
+        ev.setdefault(v, Counter())[(a, b)] = s
     return ev
+
+
+def _affected_rows(g: NodeGraph, split_ids) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices of paths touching any split node, and the boolean
+    per-position hit mask's row map — the reroute loop then runs ONLY
+    over affected paths (most paths pass every round untouched)."""
+    flat, offs, _ = g.flat_paths()
+    lens = np.diff(offs)
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    hit = np.isin(flat, np.fromiter(split_ids, np.int64, len(split_ids)))
+    return np.unique(row_of[hit]), row_of
+
+
+def _reroute_paths(
+    g: NodeGraph,
+    split_map: dict[int, dict[tuple[int, int], int]],
+    drop_on_interior_miss: bool,
+) -> None:
+    """Reroute evidence paths through node splits (shared by MB and SF;
+    they differ on interior misses — MB drops the whole path, SF keeps
+    the prefix).  Unaffected paths are carried over as array slices;
+    the Python loop runs only over paths containing a split node.
+    Output path order is original-unaffected-first then rerouted —
+    order is immaterial downstream (adjacency is re-sorted by the next
+    condense(); evidence, enumeration, and dedup are order-insensitive)
+    and deterministic."""
+    flat, offs, weights = g.flat_paths()
+    n_rows = len(offs) - 1
+    if n_rows == 0 or not split_map:
+        return
+    aff, row_of = _affected_rows(g, split_map.keys())
+    if len(aff) == 0:
+        return
+    aff_set = np.zeros(n_rows, bool)
+    aff_set[aff] = True
+    keep_pos = ~aff_set[row_of]
+    lens = np.diff(offs)
+    base_flat = flat[keep_pos]
+    base_lens = lens[~aff_set]
+    base_w = weights[~aff_set]
+
+    paths = g.paths  # materialized once; we index only affected rows
+    wlist = weights
+    new_lists: list[list[int]] = []
+    new_w: list[int] = []
+    for ri in aff.tolist():
+        p = paths[ri]
+        q: list[int] = []
+        ok = True
+        for i, x in enumerate(p):
+            copies = split_map.get(x)
+            if copies is None:
+                q.append(x)
+                continue
+            a = p[i - 1] if i > 0 else None
+            b = p[i + 1] if i + 1 < len(p) else None
+            nid = copies.get((a, b)) if a is not None and b is not None else None
+            if nid is None:
+                if a is not None and b is not None:
+                    if drop_on_interior_miss:
+                        ok = False
+                    break
+                if a is None and b is not None:
+                    cands = sorted(
+                        {n for (pa, pb), n in copies.items() if pb == b}
+                    )
+                elif b is None and a is not None:
+                    cands = sorted(
+                        {n for (pa, pb), n in copies.items() if pa == a}
+                    )
+                else:  # single-node path
+                    cands = []
+                if len(cands) == 1:
+                    q.append(cands[0])
+                    continue
+                break  # truncate (ambiguous)
+            q.append(nid)
+        if ok and q:
+            new_lists.append(q)
+            new_w.append(int(wlist[ri]))
+
+    add_flat, add_offs = (
+        (np.empty(0, np.int64), np.zeros(1, np.int64))
+        if not new_lists
+        else (None, None)
+    )
+    if new_lists:
+        total = sum(len(q) for q in new_lists)
+        add_flat = np.empty(total, np.int64)
+        add_lens = np.empty(len(new_lists), np.int64)
+        pos = 0
+        for i, q in enumerate(new_lists):
+            add_flat[pos : pos + len(q)] = q
+            add_lens[i] = len(q)
+            pos += len(q)
+    else:
+        add_lens = np.empty(0, np.int64)
+    out_lens = np.concatenate([base_lens, add_lens])
+    out_offs = np.zeros(len(out_lens) + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    g.set_paths_flat(
+        np.concatenate([base_flat, add_flat]),
+        out_offs,
+        np.concatenate([base_w, np.asarray(new_w, np.int64)]),
+    )
 
 
 def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> int:
@@ -415,52 +536,11 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
                     g.add_edge(a, nid)
                 if b not in split_map:
                     g.add_edge(nid, b)
-        # reroute read paths and wire split-split adjacencies from paths
-        new_paths: list[list[int]] = []
-        new_weights: list[int] = []
-        for p, pw in zip(g.paths, g.path_weight_list()):
-            q: list[int] = []
-            ok = True
-            for i, x in enumerate(p):
-                if x in split_map:
-                    a = p[i - 1] if i > 0 else None
-                    b = p[i + 1] if i + 1 < len(p) else None
-                    copies = split_map[x]
-                    if a is not None and b is not None:
-                        key_a = _resolved_endpoint(split_map, p, i - 1)
-                        key_b = _resolved_endpoint(split_map, p, i + 1)
-                        nid = copies.get((key_a, key_b))
-                        if nid is None:
-                            ok = False
-                            break
-                        q.append(nid)
-                    else:
-                        # read starts/ends at the split node: unique match?
-                        if a is None and b is not None:
-                            cands = sorted(
-                                {n for (pa, pb), n in copies.items() if pb == _resolved_endpoint(split_map, p, i + 1)}
-                            )
-                        elif b is None and a is not None:
-                            cands = sorted(
-                                {n for (pa, pb), n in copies.items() if pa == _resolved_endpoint(split_map, p, i - 1)}
-                            )
-                        else:  # single-node path
-                            cands = []
-                        if len(cands) == 1:
-                            q.append(cands[0])
-                        else:
-                            break  # truncate (ambiguous)
-                else:
-                    q.append(x)
-            if ok and q:
-                new_paths.append(q)
-                new_weights.append(pw)
-        g.set_paths(new_paths, new_weights)
-        # wire consecutive copies appearing in rerouted paths (covers the
-        # adjacent-split-node case)
-        for p in g.paths:
-            for i in range(len(p) - 1):
-                g.add_edge(p[i], p[i + 1])
+        # reroute read paths (evidence keys use pre-split neighbor ids,
+        # so neighbors that are themselves splitting match by original
+        # id) and wire split-split adjacencies from the rerouted paths
+        _reroute_paths(g, split_map, drop_on_interior_miss=True)
+        _wire_path_edges(g)
         # retire the split originals
         for v in split_map:
             g.remove_node(v)
@@ -469,10 +549,18 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
     return total_split
 
 
-def _resolved_endpoint(
-    split_map: dict[int, dict[tuple[int, int], int]], p: list[int], i: int
-) -> int:
-    """Original-id endpoint for evidence keys: evidence pairs are keyed by
-    pre-split neighbor ids, so a neighbor that is itself being split still
-    matches by its original id."""
-    return p[i]
+def _wire_path_edges(g: NodeGraph) -> None:
+    """add_edge for every consecutive pair in every path (covers the
+    adjacent-split-node case) — one numpy pass to the UNIQUE pairs."""
+    flat, offs, _ = g.flat_paths()
+    if len(flat) == 0:
+        return
+    lens = np.diff(offs)
+    pos_in = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+    has_next = pos_in < np.repeat(lens, lens) - 1
+    idx = np.nonzero(has_next)[0]
+    if len(idx) == 0:
+        return
+    pairs = np.unique(np.stack([flat[idx], flat[idx + 1]], axis=1), axis=0)
+    for u, v in pairs.tolist():
+        g.add_edge(u, v)

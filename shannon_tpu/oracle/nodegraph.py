@@ -6,11 +6,22 @@ Nodes carry a base string, a k-mer-count-weighted abundance, and
 adjacency; reads are symbolic node-id paths threaded once against the
 condensed graph and rerouted through node splits (so no re-threading
 against mutated sequences is ever needed — splits only refine paths).
+
+Path storage is FLAT ARRAYS (`_flat` node ids + `_offs` row offsets +
+`path_weights`), not Python lists: evidence accumulation, dedup,
+condensation remapping, and split rerouting are numpy array passes that
+scale with unique-path volume at C speed (VERDICT r1 item 5 — the MB
+host loops were the last read-scale-adjacent Python cost).  `paths`
+materializes the list view lazily for callers that want Python lists;
+all semantics (dedup order, weight merging) are identical to the
+original list implementation (tested).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+
+import numpy as np
 
 from shannon_tpu.oracle.graph import ContigGraph
 
@@ -25,16 +36,101 @@ class Node:
     alive: bool = True
 
 
-@dataclass
+def _lists_to_flat(paths: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.fromiter((len(p) for p in paths), np.int64, count=len(paths))
+    offs = np.zeros(len(paths) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(int(offs[-1]), np.int64)
+    for i, p in enumerate(paths):
+        flat[offs[i] : offs[i + 1]] = p
+    return flat, offs
+
+
+def _dedup_rows(
+    flat: np.ndarray, offs: np.ndarray, weights: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge duplicate paths (sum weights), keeping first-occurrence
+    order — vectorized equivalent of the dict-based dedup."""
+    n = len(offs) - 1
+    if n == 0:
+        return flat[:0], offs[:1], weights[:0]
+    lens = np.diff(offs)
+    L = int(lens.max(initial=0))
+    rows = np.full((n, L), -1, np.int64)
+    row_of = np.repeat(np.arange(n), lens)
+    col = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+    rows[row_of, col] = flat
+    _, first, inv = np.unique(
+        rows, axis=0, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first, kind="stable")  # first-occurrence order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    wsum = np.zeros(len(order), np.int64)
+    np.add.at(wsum, rank[inv], weights)
+    keep = first[order]  # original index of each unique path, in order
+    klens = lens[keep]
+    noffs = np.zeros(len(keep) + 1, np.int64)
+    np.cumsum(klens, out=noffs[1:])
+    src = np.repeat(offs[:-1][keep], klens) + (
+        np.arange(int(noffs[-1])) - np.repeat(noffs[:-1], klens)
+    )
+    return flat[src], noffs, wsum
+
+
 class NodeGraph:
-    k: int
-    nodes: list[Node]
-    paths: list[list[int]]  # UNIQUE evidence paths (node-id sequences)
-    # multiplicity of each unique path (reads yielding the same node path
-    # collapse into one weighted entry, so per-path host loops scale with
-    # graph complexity, not read count; weighted evidence counts equal
-    # the per-read multiset exactly)
-    path_weights: list[int] = field(default_factory=list)
+    def __init__(
+        self,
+        k: int,
+        nodes: list[Node],
+        paths: list[list[int]] | None = None,
+        path_weights: list[int] | None = None,
+    ):
+        self.k = k
+        self.nodes = nodes
+        self._flat = np.empty(0, np.int64)
+        self._offs = np.zeros(1, np.int64)
+        self._weights = np.empty(0, np.int64)
+        self._list_cache: list[list[int]] | None = None
+        self.set_paths(list(paths) if paths else [], path_weights)
+
+    # ---- flat path storage -------------------------------------------
+    @property
+    def paths(self) -> list[list[int]]:
+        """List-of-lists view (lazy, cached until the next set_paths)."""
+        if self._list_cache is None:
+            offs = self._offs
+            fl = self._flat.tolist()
+            self._list_cache = [
+                fl[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)
+            ]
+        return self._list_cache
+
+    @paths.setter
+    def paths(self, value: list[list[int]]) -> None:
+        self.set_paths(list(value) if value is not None else [])
+
+    @property
+    def path_weights(self) -> list[int]:
+        return self._weights.tolist()
+
+    @path_weights.setter
+    def path_weights(self, value) -> None:
+        if value is None:
+            return
+        w = np.asarray(value, np.int64)
+        if len(w) != len(self._offs) - 1:
+            raise ValueError("weights misaligned with paths")
+        self._weights = w
+
+    @property
+    def n_paths(self) -> int:
+        return len(self._offs) - 1
+
+    def flat_paths(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(flat node ids, row offsets [n+1], weights [n]) — the raw
+        storage; callers must not mutate."""
+        return self._flat, self._offs, self._weights
 
     @classmethod
     def from_contig_graph(
@@ -43,19 +139,20 @@ class NodeGraph:
         paths: list[list[int]] | None = None,
         weights: list[int] | None = None,
     ) -> "NodeGraph":
+        klens = getattr(g, "_klen", None)
         nodes = [
             Node(
                 seq=c.seq,
                 abundance=c.abundance,
-                klen=len(c.seq) - g.k + 1,  # == #member k-mers
+                klen=(
+                    klens[i] if klens is not None else len(c.seq) - g.k + 1
+                ),
                 out=list(g.out_edges[i]),
                 inc=list(g.in_edges[i]),
             )
             for i, c in enumerate(g.contigs)
         ]
-        out = cls(k=g.k, nodes=nodes, paths=[])
-        out.set_paths(paths or [], weights)
-        return out
+        return cls(k=g.k, nodes=nodes, paths=paths or [], path_weights=weights)
 
     def set_paths(
         self, paths: list[list[int]], weights: list[int] | None = None
@@ -65,20 +162,25 @@ class NodeGraph:
         (edge insertion, evidence accumulation) matches the un-deduped
         per-read sequence exactly."""
         if weights is None:
-            weights = [1] * len(paths)
-        agg: dict[tuple[int, ...], int] = {}
-        for p, w in zip(paths, weights):
-            key = tuple(p)
-            agg[key] = agg.get(key, 0) + w
-        self.paths = [list(kk) for kk in agg]
-        self.path_weights = list(agg.values())
+            w = np.ones(len(paths), np.int64)
+        else:
+            w = np.asarray(weights, np.int64)
+        flat, offs = _lists_to_flat(paths)
+        self.set_paths_flat(flat, offs, w)
+
+    def set_paths_flat(
+        self, flat: np.ndarray, offs: np.ndarray, weights: np.ndarray
+    ) -> None:
+        self._flat, self._offs, self._weights = _dedup_rows(
+            np.asarray(flat, np.int64),
+            np.asarray(offs, np.int64),
+            np.asarray(weights, np.int64),
+        )
+        self._list_cache = None
 
     def path_weight_list(self) -> list[int]:
-        """Weights aligned with self.paths (ones when a caller assigned
-        self.paths directly)."""
-        if len(self.path_weights) != len(self.paths):
-            self.path_weights = [1] * len(self.paths)
-        return self.path_weights
+        """Weights aligned with self.paths."""
+        return self._weights.tolist()
 
     # ------------------------------------------------------------------
     def add_node(self, seq: str, abundance: float, klen: int) -> int:
@@ -114,8 +216,9 @@ class NodeGraph:
     def condense(self) -> None:
         """Merge every chain u -> v with outdeg(u)==1, indeg(v)==1,
         u != v, concatenating sequences with the (k-1)-overlap dropped and
-        k-mer-count-weighting abundances.  Read paths are remapped.
-        Deterministic: chains are walked from their lowest-id head."""
+        k-mer-count-weighting abundances.  Read paths are remapped
+        (vectorized).  Deterministic: chains are walked from their
+        lowest-id head."""
         n0 = len(self.nodes)
 
         def mergeable(u: int, v: int) -> bool:
@@ -167,10 +270,12 @@ class NodeGraph:
                 chains.append(chain)
 
         k1 = self.k - 1
-        remap: dict[int, int] = {}
+        remap_arr = np.arange(n0, dtype=np.int64)
+        changed = False
         for chain in chains:
             h = chain[0]
             if len(chain) > 1:
+                changed = True
                 seq = self.nodes[h].seq + "".join(
                     self.nodes[x].seq[k1:] for x in chain[1:]
                 )
@@ -184,13 +289,12 @@ class NodeGraph:
                 for x in chain[1:]:
                     self.nodes[x].alive = False
                     self.nodes[x].out, self.nodes[x].inc = [], []
-            for x in chain:
-                remap[x] = h
+                    remap_arr[x] = h
         # rebuild inc/out with remapped ids
         for v in range(len(self.nodes)):
             nv = self.nodes[v]
             if nv.alive:
-                nv.out = sorted({remap.get(w, w) for w in nv.out})
+                nv.out = sorted({int(remap_arr[w]) if w < n0 else w for w in nv.out})
         for v in range(len(self.nodes)):
             self.nodes[v].inc = []
         for v in range(len(self.nodes)):
@@ -198,17 +302,23 @@ class NodeGraph:
                 self.nodes[w].inc.append(v)
         for v in range(len(self.nodes)):
             self.nodes[v].inc.sort()
-        # remap read paths, collapsing consecutive duplicates; paths made
-        # equal by the remap merge their weights
-        new_paths: list[list[int]] = []
-        for p in self.paths:
-            q: list[int] = []
-            for x in p:
-                h = remap.get(x, x)
-                if not q or q[-1] != h:
-                    q.append(h)
-            new_paths.append(q)
-        self.set_paths(new_paths, self.path_weight_list())
+        if not changed:
+            return  # nothing merged: paths (already deduped) untouched
+        # remap read paths (vectorized), collapsing consecutive
+        # duplicates; paths made equal by the remap merge their weights
+        flat, offs, weights = self._flat, self._offs, self._weights
+        if len(flat):
+            nf = remap_arr[flat]
+            lens = np.diff(offs)
+            is_start = np.zeros(len(nf), bool)
+            is_start[offs[:-1][lens > 0]] = True
+            keep = is_start.copy()
+            keep[1:] |= nf[1:] != nf[:-1]
+            row_of = np.repeat(np.arange(len(offs) - 1), lens)
+            kept_rows = row_of[keep]
+            noffs = np.zeros(len(offs), np.int64)
+            np.cumsum(np.bincount(kept_rows, minlength=len(offs) - 1), out=noffs[1:])
+            self.set_paths_flat(nf[keep], noffs, weights)
 
     # ------------------------------------------------------------------
     def alive_ids(self) -> list[int]:

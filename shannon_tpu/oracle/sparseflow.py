@@ -90,6 +90,94 @@ def greedy_decompose(
     return out
 
 
+def block_decompose(
+    a: np.ndarray, b: np.ndarray, tol: float
+) -> list[tuple[tuple[int, ...], tuple[int, ...]]]:
+    """Maximum-cardinality block decomposition of transport margins:
+    partition rows and columns into groups with |sum(rows) - sum(cols)|
+    <= tol per group, maximizing the number of groups.
+
+    This attains the LP's sparsity target EXACTLY: any feasible flow's
+    support graph decomposes into connected components whose row/column
+    sums balance, and a component on (p rows, q cols) needs >= p+q-1
+    nonzeros — so min #nonzeros = m + n - (max #blocks), and a greedy
+    max-min tree solution per block achieves it.  The reference solves
+    min Σ|f| with ℓ1 reweighting toward the same sparsest support
+    (SURVEY.md §3.1 'Sparse flow'); exhaustive decomposition is
+    feasible here because dBG node degrees are tiny (<= 8 per side)
+    and, unlike IRLS, it is bit-portable across backends (pure float64
+    sums + comparisons, no matrix solves).
+
+    Deterministic: maximize #blocks, then minimize total imbalance,
+    then lexicographically smallest (row-mask, col-mask) sequence.
+    Returns [] when no decomposition within tolerance exists beyond the
+    trivial whole-node block (callers then keep plain greedy) or when
+    m + n is too large to enumerate.
+    """
+    m, n = len(a), len(b)
+    if m + n > 12 or m == 0 or n == 0:
+        return []
+    af = [float(x) for x in a]
+    bf = [float(x) for x in b]
+    sum_a = {mask: sum(af[i] for i in range(m) if mask >> i & 1)
+             for mask in range(1 << m)}
+    sum_b = {mask: sum(bf[j] for j in range(n) if mask >> j & 1)
+             for mask in range(1 << n)}
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def best(mr: int, mc: int):
+        """-> (#blocks, -total_imbalance... ) best value + block list,
+        as (blocks, imbalance, seq) with seq the chosen (sR, sC) list;
+        None if infeasible."""
+        if mr == 0 and mc == 0:
+            return (0, 0.0, ())
+        if mr == 0 or mc == 0:
+            return None
+        low = mr & -mr  # lowest remaining row anchors the block
+        rest_r = mr ^ low
+        out = None
+        sub_r = rest_r
+        while True:  # enumerate submasks of rest_r (ascending by loop order)
+            s_rows = low | sub_r
+            sa = sum_a[s_rows]
+            sub_c = mc
+            while sub_c:  # nonempty submasks of mc
+                imb = abs(sa - sum_b[sub_c])
+                if imb <= tol:
+                    tail = best(mr ^ s_rows, mc ^ sub_c)
+                    if tail is not None:
+                        cand = (
+                            tail[0] + 1,
+                            tail[1] + imb,
+                            ((s_rows, sub_c),) + tail[2],
+                        )
+                        if (
+                            out is None
+                            or cand[0] > out[0]
+                            or (cand[0] == out[0] and cand[1] < out[1])
+                            or (cand[0] == out[0] and cand[1] == out[1]
+                                and cand[2] < out[2])
+                        ):
+                            out = cand
+                sub_c = (sub_c - 1) & mc
+            if sub_r == 0:
+                break
+            sub_r = (sub_r - 1) & rest_r
+        return out
+
+    full = (1 << m) - 1, (1 << n) - 1
+    res = best(*full)
+    if res is None or res[0] <= 1:
+        return []
+    blocks = []
+    for s_rows, s_cols in res[2]:
+        rows = tuple(i for i in range(m) if s_rows >> i & 1)
+        cols = tuple(j for j in range(n) if s_cols >> j & 1)
+        blocks.append((rows, cols))
+    return blocks
+
+
 def edge_flows_from_paths(g: NodeGraph) -> dict[tuple[int, int], int]:
     """Read-crossing counts per edge: every consecutive (a, b) in every
     evidence path is one observed traversal.  The most direct junction
@@ -148,31 +236,76 @@ def _node_flows(
     return ins, outs, a, b, float(s)
 
 
+def node_blocks(
+    a: np.ndarray, b: np.ndarray, config: AssemblyConfig, s: float
+) -> list[tuple[tuple[int, ...], tuple[int, ...], np.ndarray, np.ndarray]]:
+    """Block plan for one node's margins: the sparsest-decomposition
+    blocks (block_decompose, tolerance sf_block_tol * s) with per-block
+    margins rebalanced to a common total (float32, mirroring
+    _node_flows), or the trivial whole-node block when no decomposition
+    exists / refinement is disabled.  Shared by the host and batched
+    device solvers so both produce identical pairings."""
+    m, n = len(a), len(b)
+    trivial = [(tuple(range(m)), tuple(range(n)), a, b)]
+    if config.sf_block_tol <= 0.0:
+        return trivial
+    tol = float(np.float32(config.sf_block_tol) * np.float32(s))
+    blocks = block_decompose(a, b, tol)
+    if not blocks:
+        return trivial
+    out = []
+    for rows, cols in blocks:
+        ab = a[list(rows)].astype(np.float32)
+        bb = b[list(cols)].astype(np.float32)
+        sb = np.float32(0.5) * (ab.sum() + bb.sum())
+        if ab.sum() > 0:
+            ab = ab * (sb / ab.sum())
+        if bb.sum() > 0:
+            bb = bb * (sb / bb.sum())
+        out.append((rows, cols, ab, bb))
+    return out
+
+
+def _best_of_restarts(
+    ab: np.ndarray, bb: np.ndarray, node_seed: int, config: AssemblyConfig
+) -> list[tuple[int, int, float]]:
+    """Greedy + seeded restarts on one margin pair; selection key =
+    (pairing count, support-bitmask) — bitmask bit i*N+j, compared as
+    two uint32 words by the device solver (M*N <= 64)."""
+    best = greedy_decompose(ab, bb, seed=None)
+
+    def key(sol: list[tuple[int, int, float]]) -> tuple:
+        mask = 0
+        for i, j, _ in sol:
+            mask |= 1 << (i * len(bb) + j)
+        return (len(sol), mask)
+
+    for r in range(config.sf_restarts):
+        cand = greedy_decompose(ab, bb, seed=(node_seed + r + 1) & 0xFFFFFFFF)
+        if key(cand) < key(best):
+            best = cand
+    return best
+
+
 def solve_node(
     g: NodeGraph, v: int, config: AssemblyConfig, edge_flows=None
 ) -> list[tuple[int, int, float]]:
-    """Sparse-flow pairings for X-node v: [(in_node, out_node, flow)]."""
+    """Sparse-flow pairings for X-node v: [(in_node, out_node, flow)].
+    Exact-sparsest: greedy max-min within each balanced block of the
+    margins (node_blocks); greedy alone is a basic (tree) solution and
+    can overshoot the sparsest support when its max-min pick crosses a
+    block boundary (tested known answer)."""
     ins, outs, a, b, s = _node_flows(g, v, edge_flows)
     if s <= 0:
         return []
-    best = greedy_decompose(a, b, seed=None)
-
-    def key(sol: list[tuple[int, int, float]]) -> tuple:
-        # (pairing count, support-bitmask value) — bitmask bit i*N+j.
-        # Chosen over sorted-list lexicographic order because the device
-        # solver compares it as two uint32 words (M*N <= 64).
-        mask = 0
-        for i, j, _ in sol:
-            mask |= 1 << (i * len(b) + j)
-        return (len(sol), mask)
-
     node_seed = fnv1a(g.nodes[v].seq.encode()) ^ config.seed
-    for r in range(config.sf_restarts):
-        cand = greedy_decompose(a, b, seed=(node_seed + r + 1) & 0xFFFFFFFF)
-        if key(cand) < key(best):
-            best = cand
     thresh = np.float32(config.sf_min_flow_frac) * np.float32(s)
-    return [(ins[i], outs[j], f) for i, j, f in best if f >= thresh]
+    result: list[tuple[int, int, float]] = []
+    for rows, cols, ab, bb in node_blocks(a, b, config, s):
+        for i, j, f in _best_of_restarts(ab, bb, node_seed, config):
+            if f >= thresh:
+                result.append((ins[rows[i]], outs[cols[j]], float(f)))
+    return result
 
 
 def sparse_flow(
@@ -230,36 +363,11 @@ def sparse_flow(
                     for (u2, w2), nid2 in split_map[w].items():
                         if u2 == v:
                             g.add_edge(nid, nid2)
-        # reroute read paths (same semantics as MB rerouting)
-        new_paths: list[list[int]] = []
-        new_weights: list[int] = []
-        for p, pw in zip(g.paths, g.path_weight_list()):
-            q: list[int] = []
-            for i, x in enumerate(p):
-                if x not in split_map:
-                    q.append(x)
-                    continue
-                a_ = p[i - 1] if i > 0 else None
-                b_ = p[i + 1] if i + 1 < len(p) else None
-                copies = split_map[x]
-                nid = (
-                    copies.get((a_, b_))
-                    if a_ is not None and b_ is not None
-                    else None
-                )
-                if nid is None and a_ is not None and b_ is None:
-                    cands = sorted({n for (pa, pb), n in copies.items() if pa == a_})
-                    nid = cands[0] if len(cands) == 1 else None
-                if nid is None and b_ is not None and a_ is None:
-                    cands = sorted({n for (pa, pb), n in copies.items() if pb == b_})
-                    nid = cands[0] if len(cands) == 1 else None
-                if nid is None:
-                    break
-                q.append(nid)
-            if q:
-                new_paths.append(q)
-                new_weights.append(pw)
-        g.set_paths(new_paths, new_weights)
+        # reroute read paths (MB semantics except interior misses keep
+        # the path prefix instead of dropping the path)
+        from shannon_tpu.oracle.multibridge import _reroute_paths
+
+        _reroute_paths(g, split_map, drop_on_interior_miss=False)
         for v in split_map:
             g.remove_node(v)
         total += len(split_map)

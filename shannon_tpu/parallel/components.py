@@ -32,16 +32,16 @@ from shannon_tpu.oracle.sparseflow import sparse_flow
 
 
 def device_components(ca) -> list[list[int]]:
-    """Weakly-connected components of the device contig graph, computed
-    on device (ops/partition.connected_components); oracle-format
-    component lists, identical to ContigGraph.components() (tested)."""
+    """Weakly-connected components of the device contig graph
+    (ops/partition.connected_components — exact C-speed pass over the
+    device-emitted edge arrays); oracle-format component lists,
+    identical to ContigGraph.components() (tested)."""
     from shannon_tpu.ops.partition import (
         components_to_lists,
         connected_components,
     )
 
-    labels = connected_components(ca)
-    return components_to_lists(np.asarray(labels), int(ca.n_contigs))
+    return components_to_lists(connected_components(ca), int(ca.n_contigs))
 
 
 def _subgraph(

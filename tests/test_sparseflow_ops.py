@@ -123,3 +123,71 @@ def test_solve_nodes_device_matches_host(rng):
     assert n_host == n_dev
     assert host_nodes == dev_nodes
     assert n_host > 0  # the isoform X-node was actually split
+
+
+def test_block_decompose_known_answer():
+    """VERDICT r1 item 6 known answer: greedy max-min's first pick
+    min(6, 7) = 6 crosses the {3,4}x{7} / {6}x{1,5} block boundary, so
+    EVERY restart yields 5 pairings; the exact decomposition gives the
+    sparsest 4 = m + n - #blocks."""
+    from shannon_tpu.oracle.sparseflow import block_decompose
+
+    a = np.asarray([3.0, 4.0, 6.0], np.float32)
+    b = np.asarray([1.0, 5.0, 7.0], np.float32)
+    # plain greedy: 5 pairings regardless of tie seed
+    for seed in (None, 1, 7, 99):
+        assert len(greedy_decompose(a, b, seed)) == 5
+    blocks = block_decompose(a, b, tol=1e-6)
+    assert blocks == [((0, 1), (2,)), ((2,), (0, 1))]
+    total = sum(
+        len(greedy_decompose(a[list(r)], b[list(c)], None))
+        for r, c in blocks
+    )
+    assert total == 4  # provably minimal: 3 + 3 - 2 blocks
+
+
+def test_block_decompose_tolerance_and_ties():
+    from shannon_tpu.oracle.sparseflow import block_decompose
+
+    a = np.asarray([5.0, 5.05], np.float32)
+    b = np.asarray([5.02, 5.04], np.float32)
+    # within 2% tolerance the near-equal margins split diagonally
+    blocks = block_decompose(a, b, tol=0.2)
+    assert blocks == [((0,), (0,)), ((1,), (1,))]
+    # zero tolerance: no exact decomposition -> []
+    assert block_decompose(a, b, tol=0.0) == []
+    # oversized nodes are skipped (m + n > 12)
+    assert block_decompose(np.ones(8, np.float32), np.ones(8, np.float32), 1.0) == []
+
+
+def test_solve_node_block_refinement_matches_device(rng):
+    """The greedy-fails margin set, end to end through both solvers:
+    solve_node and solve_nodes_device must agree and return the
+    4-sparse decomposition."""
+    from shannon_tpu.oracle.nodegraph import Node, NodeGraph
+    from shannon_tpu.oracle.sparseflow import solve_node
+    from shannon_tpu.ops.sparseflow import solve_nodes_device
+
+    # X-node 0 with in-neighbors 1..3 (abundances 3,4,6; outdeg 1
+    # each) and out-neighbors 4..6 (abundances 1,5,7; indeg 1 each)
+    nodes = [Node(seq="X", abundance=13.0, klen=1)]
+    for ab in (3.0, 4.0, 6.0):
+        nodes.append(Node(seq=f"I{ab}", abundance=ab, klen=1, out=[0]))
+    for ab in (1.0, 5.0, 7.0):
+        nodes.append(Node(seq=f"O{ab}", abundance=ab, klen=1, inc=[0]))
+    nodes[0].inc = [1, 2, 3]
+    nodes[0].out = [4, 5, 6]
+    g = NodeGraph(k=5, nodes=nodes, paths=[])
+    cfg = AssemblyConfig(k=5)
+    host = solve_node(g, 0, cfg)
+    dev = solve_nodes_device(g, [0], cfg)[0]
+    assert sorted(host) == sorted(dev)
+    assert len(host) == 4
+    # the in-6 neighbor must NOT pair with the out-7 neighbor (the
+    # block-crossing pairing plain greedy always makes first)
+    assert not any(u == 3 and w == 6 for u, w, _f in host)
+    # disabling refinement reproduces legacy greedy (5 pairings)
+    cfg0 = AssemblyConfig(k=5, sf_block_tol=0.0)
+    legacy = solve_node(g, 0, cfg0)
+    assert len(legacy) == 5
+    assert sorted(legacy) == sorted(solve_nodes_device(g, [0], cfg0)[0])

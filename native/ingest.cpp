@@ -12,6 +12,19 @@
 //   sti_count_records(path) -> number of records, or -1 on error
 //   sti_parse_pack(path, pad_len, codes_out[n*pad_len],
 //                  lengths_out[n], n) -> records filled, or -1
+//   sti_range_count(path, lo, hi) -> records whose header line STARTS
+//                  in byte range [lo, hi), or -1
+//   sti_range_parse(path, lo, hi, pad_len, codes, lengths, max) ->
+//                  records filled for that byte range, or -1
+//
+// Byte-range contract (multi-host ingest, SURVEY.md §8 M5): a record
+// belongs to the range containing its header line's first byte, so any
+// partition of [0, file_size) yields every record exactly once and
+// each host reads only ~its fraction of the file.  Resync after a seek:
+// FASTA = next line starting '>'; FASTQ = next line starting '@' whose
+// second-following line starts '+' (quality lines starting '@' are
+// followed by a header then sequence, never '+', so the rule is exact
+// on well-formed 4-line records).
 //
 // Records longer than pad_len are truncated; positions past a read's
 // length hold 4 (BASE_INVALID), matching shannon_tpu.io.pack.
@@ -42,15 +55,20 @@ struct Reader {
     FILE* f;
     char* buf;
     size_t cap;
-    explicit Reader(const char* path) : f(fopen(path, "rb")), buf(nullptr), cap(0) {}
+    long start;  // byte offset where the last-read line begins
+    long next;   // byte offset of the next line
+    explicit Reader(const char* path)
+        : f(fopen(path, "rb")), buf(nullptr), cap(0), start(0), next(0) {}
     ~Reader() {
         if (f) fclose(f);
         free(buf);
     }
     // getline without trailing newline; returns length or -1 at EOF
     long line() {
+        start = next;
         ssize_t n = getline(&buf, &cap, f);
         if (n < 0) return -1;
+        next = start + n;
         while (n > 0 && (buf[n - 1] == '\n' || buf[n - 1] == '\r')) --n;
         buf[n] = 0;
         return n;
@@ -68,6 +86,55 @@ Fmt sniff(Reader& r, long& first_len) {
         if (r.buf[0] == '@') return FMT_FASTQ;
         return FMT_BAD;
     }
+}
+
+Fmt sniff_file(const char* path) {
+    Reader r(path);
+    if (!r.f) return FMT_BAD;
+    long first;
+    return sniff(r, first);
+}
+
+// Position the reader so the next line() returns the first complete
+// line whose start offset is >= lo (a line starts exactly at lo iff
+// byte lo-1 is a newline, so backing up one byte and discarding one
+// getline is exact).
+bool seek_to_line(Reader& r, long lo) {
+    if (lo <= 0) {
+        if (fseek(r.f, 0, SEEK_SET) != 0) return false;
+        r.next = 0;
+        return true;
+    }
+    if (fseek(r.f, lo - 1, SEEK_SET) != 0) return false;
+    r.next = lo - 1;
+    return r.line() >= 0;
+}
+
+// One held line (content copy) for the FASTQ resync lookahead.
+struct Held {
+    char* s = nullptr;
+    size_t cap = 0;
+    long n = -1;  // -1 = empty slot
+    long start = 0;
+    void set(const char* src, long len, long st) {
+        if (cap < (size_t)len + 1) {
+            cap = (size_t)len + 1;
+            s = (char*)realloc(s, cap);
+        }
+        memcpy(s, src, (size_t)len + 1);
+        n = len;
+        start = st;
+    }
+    ~Held() { free(s); }
+};
+
+void encode_row(const char* src, long n, int32_t pad_len, uint8_t* row,
+                int32_t* len_out) {
+    int32_t len = 0;
+    for (long i = 0; i < n && len < pad_len; ++i)
+        row[len++] = LUT.t[(uint8_t)src[i]];
+    for (int32_t i = len; i < pad_len; ++i) row[i] = 4;
+    *len_out = len;
 }
 
 }  // namespace
@@ -153,6 +220,134 @@ long sti_parse_pack(const char* path, int32_t pad_len, uint8_t* codes,
             if (h < 0) break;
             if (h == 0 || r.buf[0] != '@') return -1;
         }
+    }
+    return rec;
+}
+
+// Records whose header line starts in byte range [lo, hi); -1 on error.
+long sti_range_count(const char* path, long lo, long hi) {
+    Fmt fmt = sniff_file(path);
+    if (fmt == FMT_BAD) return -1;
+    Reader r(path);
+    if (!r.f || !seek_to_line(r, lo)) return -1;
+    long count = 0;
+    if (fmt == FMT_FASTA) {
+        long n;
+        while ((n = r.line()) >= 0) {
+            if (r.start >= hi) break;
+            if (n > 0 && r.buf[0] == '>') ++count;
+        }
+        return count;
+    }
+    // FASTQ: resync to a header ('@' line with '+' two lines later)
+    Held h0, h1;
+    long n;
+    bool found = false;
+    long hdr_start = 0;
+    while ((n = r.line()) >= 0) {
+        if (h0.n > 0 && h0.s[0] == '@' && n > 0 && r.buf[0] == '+') {
+            hdr_start = h0.start;
+            found = true;
+            break;
+        }
+        h0.set(h1.n >= 0 ? h1.s : "", h1.n >= 0 ? h1.n : 0,
+               h1.n >= 0 ? h1.start : 0);
+        if (h1.n < 0) h0.n = -1;  // keep empty until h1 was real
+        h1.set(r.buf, n, r.start);
+    }
+    if (!found || hdr_start >= hi) return 0;
+    if (r.line() < 0) return -1;  // quality of the first record
+    count = 1;
+    for (;;) {
+        long h = r.line();  // next header (or EOF)
+        if (h < 0) break;
+        if (r.start >= hi) break;
+        if (h == 0 || r.buf[0] != '@') return -1;
+        if (r.line() < 0 || r.line() < 0 || r.line() < 0) return -1;
+        ++count;
+    }
+    return count;
+}
+
+// Parse + encode the records of byte range [lo, hi) (same contract as
+// sti_range_count).  Returns records written or -1.
+long sti_range_parse(const char* path, long lo, long hi, int32_t pad_len,
+                     uint8_t* codes, int32_t* lengths, long max_records) {
+    Fmt fmt = sniff_file(path);
+    if (fmt == FMT_BAD) return -1;
+    Reader r(path);
+    if (!r.f || !seek_to_line(r, lo)) return -1;
+    long rec = 0;
+    if (fmt == FMT_FASTA) {
+        int32_t len = 0;
+        uint8_t* row = nullptr;
+        bool in_rec = false;
+        long n;
+        auto close_rec = [&]() {
+            for (int32_t i = len; i < pad_len; ++i) row[i] = 4;
+            lengths[rec] = len;
+            ++rec;
+        };
+        while ((n = r.line()) >= 0) {
+            if (n > 0 && r.buf[0] == '>') {
+                if (in_rec) {
+                    if (rec >= max_records) return -1;
+                    close_rec();
+                }
+                if (r.start >= hi) {
+                    in_rec = false;
+                    break;
+                }
+                row = codes + rec * (long)pad_len;
+                len = 0;
+                in_rec = true;
+            } else if (in_rec) {
+                for (long i = 0; i < n && len < pad_len; ++i)
+                    row[len++] = LUT.t[(uint8_t)r.buf[i]];
+            }
+        }
+        if (in_rec) {
+            if (rec >= max_records) return -1;
+            close_rec();
+        }
+        return rec;
+    }
+    // FASTQ
+    Held h0, h1;
+    long n;
+    bool found = false;
+    long hdr_start = 0;
+    while ((n = r.line()) >= 0) {
+        if (h0.n > 0 && h0.s[0] == '@' && n > 0 && r.buf[0] == '+') {
+            hdr_start = h0.start;
+            found = true;
+            break;
+        }
+        h0.set(h1.n >= 0 ? h1.s : "", h1.n >= 0 ? h1.n : 0,
+               h1.n >= 0 ? h1.start : 0);
+        if (h1.n < 0) h0.n = -1;
+        h1.set(r.buf, n, r.start);
+    }
+    if (!found || hdr_start >= hi) return 0;
+    if (max_records < 1) return -1;
+    // h1 holds the first record's sequence line
+    encode_row(h1.s, h1.n, pad_len, codes, &lengths[0]);
+    rec = 1;
+    if (r.line() < 0) return -1;  // quality
+    for (;;) {
+        long h = r.line();  // header (or EOF)
+        if (h < 0) break;
+        if (r.start >= hi) break;
+        if (h == 0 || r.buf[0] != '@') return -1;
+        if (rec >= max_records) return -1;
+        long sn = r.line();  // sequence
+        if (sn < 0) return -1;
+        encode_row(r.buf, sn, pad_len, codes + rec * (long)pad_len,
+                   &lengths[rec]);
+        ++rec;
+        long pn = r.line();  // '+'
+        if (pn < 0 || r.buf[0] != '+') return -1;
+        if (r.line() < 0) return -1;  // quality
     }
     return rec;
 }

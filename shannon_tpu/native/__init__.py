@@ -54,6 +54,20 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long,
         ]
+        lib.sti_range_count.restype = ctypes.c_long
+        lib.sti_range_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ]
+        lib.sti_range_parse.restype = ctypes.c_long
+        lib.sti_range_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -89,3 +103,127 @@ def pack_file(path: str | os.PathLike, pad_length: int = 128):
     if got != n:
         return pack_reads((s for _, s in read_fastx(path)), pad_length)
     return ReadBatch(codes=codes, lengths=lengths, paired=False)
+
+
+def _py_range_records(path: Path, lo: int, hi: int) -> list[str]:
+    """Pure-Python byte-range record extraction — same contract as the
+    native sti_range_* functions (a record belongs to the range holding
+    its header line's first byte; FASTQ resync = '@' line with '+' two
+    lines later)."""
+    out: list[str] = []
+    with open(path, "rb") as fh:
+        head = fh.read(2048)
+        fmt = None
+        for ln in head.splitlines():
+            if not ln:
+                continue
+            fmt = "fasta" if ln[:1] == b">" else (
+                "fastq" if ln[:1] == b"@" else None
+            )
+            break
+        if fmt is None:
+            raise ValueError(f"unrecognized FASTA/FASTQ: {path}")
+        if lo <= 0:
+            fh.seek(0)
+        else:
+            fh.seek(lo - 1)
+            fh.readline()  # discard partial line (or the '\n' at lo-1)
+        if fmt == "fasta":
+            seq: list[bytes] = []
+            in_rec = False
+            while True:
+                start = fh.tell()
+                ln = fh.readline()
+                if not ln:
+                    break
+                if ln[:1] == b">":
+                    if in_rec:
+                        out.append(b"".join(seq).decode("ascii"))
+                    if start >= hi:
+                        in_rec = False
+                        break
+                    seq, in_rec = [], True
+                elif in_rec:
+                    seq.append(ln.strip())
+            if in_rec:
+                out.append(b"".join(seq).decode("ascii"))
+            return out
+        # FASTQ resync: header = '@' line two lines before a '+' line
+        held: list[tuple[int, bytes]] = []
+        hdr_start = None
+        first_seq = None
+        while True:
+            start = fh.tell()
+            ln = fh.readline()
+            if not ln:
+                return out
+            if (
+                len(held) == 2
+                and held[0][1][:1] == b"@"
+                and ln[:1] == b"+"
+            ):
+                hdr_start = held[0][0]
+                first_seq = held[1][1].strip()
+                break
+            held.append((start, ln))
+            if len(held) > 2:
+                held.pop(0)
+        if hdr_start >= hi:
+            return out
+        out.append(first_seq.decode("ascii"))
+        if not fh.readline():  # quality
+            raise ValueError(f"truncated FASTQ: {path}")
+        while True:
+            start = fh.tell()
+            hdr = fh.readline()
+            if not hdr:
+                break
+            if start >= hi:
+                break
+            if hdr[:1] != b"@":
+                raise ValueError(f"malformed FASTQ near byte {start}: {path}")
+            seq = fh.readline()
+            plus = fh.readline()
+            qual = fh.readline()
+            if not seq or not plus or not qual or plus[:1] != b"+":
+                raise ValueError(f"truncated FASTQ: {path}")
+            out.append(seq.strip().decode("ascii"))
+        return out
+
+
+def pack_file_range(
+    path: str | os.PathLike, lo: int, hi: int, pad_length: int = 128
+):
+    """Parse + encode only the records whose header byte lands in
+    [lo, hi) — the per-host ingest primitive (each host of N reads ~1/N
+    of the file's bytes instead of parsing everything and slicing;
+    SURVEY.md §8 M5).  Partitioning [0, file_size) over hosts yields
+    every record exactly once.  Native fast path with transparent
+    Python fallback (gzip always falls back)."""
+    from shannon_tpu.io.pack import ReadBatch, pack_reads
+
+    path = Path(path)
+    if path.suffix == ".gz":
+        raise ValueError(
+            "byte-range ingest requires an uncompressed file (gzip "
+            "offsets are not record-addressable); decompress or use "
+            "pack_file + record slicing"
+        )
+    lib = load()
+    if lib is None:
+        return pack_reads(_py_range_records(path, lo, hi), pad_length)
+    pb = str(path).encode()
+    n = lib.sti_range_count(pb, lo, hi)
+    if n < 0:
+        return pack_reads(_py_range_records(path, lo, hi), pad_length)
+    codes = np.empty((max(n, 1), pad_length), dtype=np.uint8)
+    lengths = np.empty(max(n, 1), dtype=np.int32)
+    got = lib.sti_range_parse(
+        pb, lo, hi, pad_length,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+    )
+    if got != n:
+        return pack_reads(_py_range_records(path, lo, hi), pad_length)
+    return ReadBatch(codes=codes[:n], lengths=lengths[:n], paired=False)

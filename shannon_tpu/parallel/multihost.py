@@ -32,6 +32,22 @@ def init_distributed() -> bool:
     return False
 
 
+def host_byte_range(path: str | os.PathLike) -> tuple[int, int]:
+    """This host's byte range of an (uncompressed) input file: equal
+    byte split of [0, file_size) over processes.  Combined with
+    native.pack_file_range's record-ownership contract (a record
+    belongs to the range holding its header byte), each host parses
+    ~1/N of the file and every record lands on exactly one host —
+    replacing the parse-everything-then-slice ingest (SURVEY.md §8 M5;
+    at the 100M-read workload ceiling the old scheme repeated hours of
+    parsing on every host)."""
+    import jax
+
+    size = os.path.getsize(path)
+    p, n = jax.process_index(), jax.process_count()
+    return p * size // n, (p + 1) * size // n
+
+
 def host_read_slice(n_records: int) -> slice:
     """The record range this host should ingest: contiguous slice of the
     input file(s), pair-aligned (even boundaries) so mates stay on one

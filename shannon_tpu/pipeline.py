@@ -38,14 +38,23 @@ from shannon_tpu.oracle.sparseflow import sparse_flow
 from shannon_tpu.utils.timing import StageTimer
 
 
-def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True):
+def _spectrum_device(
+    batch: ReadBatch,
+    config: AssemblyConfig,
+    clip: bool = True,
+    timer: StageTimer | None = None,
+):
     """Device path: count + correct (+ tip-clip unless clip=False) on
     TPU; returns the corrected Spectrum (still on device)."""
+    import time as _time
+
     from shannon_tpu.ops.correction import correct_spectrum
     from shannon_tpu.ops.count import count_reads_spectrum
     from shannon_tpu.ops.tipclip import clip_tips_spectrum
 
     import jax
+
+    t0 = _time.perf_counter()
 
     canonical = not config.strand_specific
     n_dev = config.n_devices or len(jax.devices())
@@ -81,6 +90,10 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True
             f"kmer_capacity={config.kmer_capacity} overflowed; raise "
             "AssemblyConfig.kmer_capacity"
         )
+    spec.hi.block_until_ready()
+    t1 = _time.perf_counter()
+    if timer:
+        timer.note("spectrum+graph", count_s=round(t1 - t0, 2))
     # shrink to tight capacity BEFORE correction: neighbor_counts builds
     # [16, C] probe tables, which at the full counting capacity (2^22 ->
     # 67M lanes) crashes the TPU worker (measured); at tight capacity the
@@ -97,36 +110,71 @@ def _spectrum_device(batch: ReadBatch, config: AssemblyConfig, clip: bool = True
         config.correction_rounds,
         canonical=canonical,
     )
+    spec.hi.block_until_ready()
+    t2 = _time.perf_counter()
+    if timer:
+        timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))
     if not clip:
         return spec
-    return clip_tips_spectrum(spec, config, canonical=canonical)
+    spec = clip_tips_spectrum(spec, config, canonical=canonical)
+    spec.hi.block_until_ready()
+    if timer:
+        timer.note(
+            "spectrum+graph", tipclip_s=round(_time.perf_counter() - t2, 2)
+        )
+    return spec
 
 
-def _graph_device(batch: ReadBatch, config: AssemblyConfig):
+def _graph_device(
+    batch: ReadBatch,
+    config: AssemblyConfig,
+    timer: StageTimer | None = None,
+):
     """Full on-device front half: spectrum + condensation; returns
     (ContigGraph materialized for the host assembler, #alive k-mers,
     device ContigArrays for further device stages).  The spectrum never
     round-trips through a Python dict (millions of boxed ints at
     scale)."""
+    import time as _time
+
     from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
 
-    spec = _spectrum_device(batch, config)
+    spec = _spectrum_device(batch, config, timer=timer)
+    t0 = _time.perf_counter()
     ca = build_contig_arrays(spec, config.k, canonical=not config.strand_specific)
-    return to_contig_graph(ca, config.k, config), int(spec.n), ca
+    ca.out_edges.block_until_ready()
+    t1 = _time.perf_counter()
+    g = to_contig_graph(ca, config.k, config)
+    if timer:
+        timer.note(
+            "spectrum+graph",
+            condense_s=round(t1 - t0, 2),
+            materialize_s=round(_time.perf_counter() - t1, 2),
+        )
+    return g, int(spec.n), ca
 
 
-def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
+def _thread_device(
+    batch: ReadBatch,
+    ca,
+    cgraph,
+    config: AssemblyConfig,
+    timer: StageTimer | None = None,
+):
     """Device read threading (hot loop #3) -> evidence (paths, weights).
     Streams read batches (static shapes, compile-cache friendly) like
     the counting driver, then DEDUPLICATES whole event rows (read
     pairs in paired mode) before the per-row Python conversion — at
     deep coverage most reads thread identically, so the host loop runs
     over unique rows, not reads."""
+    import time as _time
+
     import jax.numpy as jnp
 
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
 
+    t0 = _time.perf_counter()
     n = batch.n_reads
     bs = config.batch_reads
     rows_parts: list[np.ndarray] = []
@@ -163,6 +211,7 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
         rows_parts.append(part[: e - s])
     if not rows_parts:
         return expand_paths([], cgraph, config, paired=batch.paired)
+    t1 = _time.perf_counter()
     rows_all = np.vstack(rows_parts)  # [N, 2W + 1 + 4R + 1] per read
     ncol = rows_all.shape[1]
     # pairs dedup as units so mate weights stay aligned
@@ -189,10 +238,20 @@ def _thread_device(batch: ReadBatch, ca, cgraph, config: AssemblyConfig):
     )
     weights = np.repeat(counts, group).astype(int).tolist()
     read_lengths = urows[:, c + 4 * R].astype(int).tolist()
-    return expand_paths(
+    t2 = _time.perf_counter()
+    out = expand_paths(
         raw, cgraph, config, paired=batch.paired, weights=weights,
         read_lengths=read_lengths,
     )
+    if timer:
+        timer.note(
+            "threading",
+            kernel_s=round(t1 - t0, 2),
+            dedup_s=round(t2 - t1, 2),
+            expand_s=round(_time.perf_counter() - t2, 2),
+            unique_rows=len(urows),
+        )
+    return out
 
 
 def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
@@ -260,11 +319,11 @@ def assemble(
             batch = pack_reads(
                 reads, pad_length=config.read_pad_length, paired=paired
             )
-            cgraph, n_alive, ca = _graph_device(batch, config)
+            cgraph, n_alive, ca = _graph_device(batch, config, timer=timer)
         with timer.stage("partition"):
             comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
-            paths, path_weights = _thread_device(batch, ca, cgraph, config)
+            paths, path_weights = _thread_device(batch, ca, cgraph, config, timer=timer)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -351,10 +410,29 @@ def run_pipeline(
         timer.note("ingest", skipped=True, n_reads=batch.n_reads)
     else:
         with timer.stage("ingest"):
+            import jax as _jax
+
             from shannon_tpu.native import pack_file
 
+            multi = _jax.process_count() > 1
             if single is not None:
-                batch = pack_file(single, pad_length=config.read_pad_length)
+                if multi and not str(single).endswith(".gz"):
+                    # per-host byte-range ingest: each host parses ~1/N
+                    # of the file's bytes (SURVEY.md §8 M5)
+                    from shannon_tpu.native import pack_file_range
+                    from shannon_tpu.parallel.multihost import (
+                        host_byte_range,
+                    )
+
+                    lo, hi = host_byte_range(single)
+                    batch = pack_file_range(
+                        single, lo, hi, pad_length=config.read_pad_length
+                    )
+                    multi = False  # already sliced
+                else:
+                    batch = pack_file(
+                        single, pad_length=config.read_pad_length
+                    )
             elif left is not None and right is not None:
                 bl = pack_file(left, pad_length=config.read_pad_length)
                 br = pack_file(right, pad_length=config.read_pad_length)
@@ -377,12 +455,12 @@ def run_pipeline(
                 batch = ReadBatch(codes=codes, lengths=lengths, paired=True)
             else:
                 raise ValueError("provide --single or --left/--right")
-            import jax as _jax
 
-            if _jax.process_count() > 1:
-                # multi-host: each host keeps its contiguous, pair-aligned
-                # record slice (SURVEY.md §8 M5); every host parses the
-                # input (shared-filesystem model, like the reference)
+            if multi:
+                # paired / gzip multi-host fallback: each host keeps its
+                # contiguous, pair-aligned record slice (byte-range
+                # splitting two pair files independently could misalign
+                # mates; gzip offsets are not record-addressable)
                 from shannon_tpu.parallel.multihost import host_read_slice
 
                 sl = host_read_slice(batch.n_reads)
@@ -473,7 +551,7 @@ def run_pipeline(
 
                 comps = device_components(ca)
             with timer.stage("threading"):
-                paths, path_weights = _thread_device(batch, ca, cgraph, config)
+                paths, path_weights = _thread_device(batch, ca, cgraph, config, timer=timer)
         else:
             with timer.stage("graph"):
                 if alive is None:

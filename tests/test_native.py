@@ -84,3 +84,111 @@ def test_native_speedup(rng, tmp_path, lib):
     t_python = time.perf_counter() - t0
     _assert_batches_equal(nb, pb)
     assert t_native < t_python, (t_native, t_python)
+
+
+def _write_fastq(path, seqs):
+    with open(path, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f"@r{i} x\n{s}\n+\n{'I' * len(s)}\n")
+
+
+@pytest.mark.parametrize("fmt", ["fasta", "fastq"])
+@pytest.mark.parametrize("n_ranges", [1, 2, 3, 7])
+def test_byte_range_ingest_partitions_exactly(rng, tmp_path, fmt, n_ranges):
+    """Any byte partition of the file must yield every record exactly
+    once, in order, identical to the full parse (both the native path
+    and the Python fallback)."""
+    import shannon_tpu.native as nat
+    from shannon_tpu.native import pack_file_range
+
+    seqs = [random_seq(rng, int(n)) for n in rng.integers(20, 120, size=61)]
+    p = tmp_path / f"r.{fmt}"
+    if fmt == "fasta":
+        write_fasta(p, [(f"r{i} d", s) for i, s in enumerate(seqs)], width=41)
+    else:
+        _write_fastq(p, seqs)
+    size = p.stat().st_size
+    full = pack_file(p, 128)
+
+    def run_ranges():
+        cuts = sorted(
+            {0, size, *(int(x) for x in rng.integers(1, size, size=n_ranges - 1))}
+        )
+        parts = [
+            pack_file_range(p, lo, hi, 128)
+            for lo, hi in zip(cuts[:-1], cuts[1:])
+        ]
+        codes = np.vstack([b.codes for b in parts if b.n_reads])
+        lengths = np.concatenate([b.lengths for b in parts if b.n_reads])
+        np.testing.assert_array_equal(codes, full.codes)
+        np.testing.assert_array_equal(lengths, full.lengths)
+        # bytes actually read scale ~1/N per range by construction
+
+    run_ranges()
+    # force the Python fallback and re-check the same contract
+    saved = nat._lib, nat._lib_failed
+    nat._lib, nat._lib_failed = None, True
+    try:
+        run_ranges()
+    finally:
+        nat._lib, nat._lib_failed = saved
+
+
+def test_byte_range_splits_mid_record(rng, tmp_path):
+    """Cut points landing inside a record's lines must assign the whole
+    record to the range owning its header byte."""
+    from shannon_tpu.native import pack_file_range
+
+    seqs = [random_seq(rng, 80) for _ in range(5)]
+    p = tmp_path / "r.fastq"
+    _write_fastq(p, seqs)
+    size = p.stat().st_size
+    full = pack_file(p, 128)
+    # try every byte as the single cut point (small file, exhaustive)
+    for cut in range(0, size + 1, 7):
+        a = pack_file_range(p, 0, cut, 128)
+        b = pack_file_range(p, cut, size, 128)
+        assert a.n_reads + b.n_reads == full.n_reads, cut
+        got = np.vstack([x.codes for x in (a, b) if x.n_reads])
+        np.testing.assert_array_equal(got, full.codes)
+
+
+def test_byte_range_rejects_gzip(tmp_path):
+    from shannon_tpu.native import pack_file_range
+
+    import gzip
+
+    p = tmp_path / "r.fasta.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(">r0\nACGT\n")
+    with pytest.raises(ValueError):
+        pack_file_range(p, 0, 10, 16)
+
+
+def test_host_byte_range_partitions_file(tmp_path, monkeypatch):
+    from shannon_tpu.parallel import multihost
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"z" * 1000)
+
+    class FakeJax:
+        @staticmethod
+        def process_index():
+            return FakeJax._p
+
+        @staticmethod
+        def process_count():
+            return 4
+
+    import sys
+
+    ranges = []
+    real_jax = sys.modules["jax"]
+    for i in range(4):
+        FakeJax._p = i
+        monkeypatch.setattr(real_jax, "process_index", FakeJax.process_index)
+        monkeypatch.setattr(real_jax, "process_count", FakeJax.process_count)
+        ranges.append(multihost.host_byte_range(p))
+    assert ranges[0][0] == 0 and ranges[-1][1] == 1000
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 == b0

@@ -99,10 +99,19 @@ def main() -> None:
     count_kmers_pure_python(sub, K)
     py_reads_s = len(sub) / (time.perf_counter() - t0)
 
-    # --- end-to-end assembly (device) -----------------------------------
+    # --- end-to-end assembly (device): cold then steady -----------------
+    # the axon runtime charges tens of seconds per DISTINCT program per
+    # process even with a warm persistent compile cache (measured 79s
+    # first call / 66ms steady for the counting kernel); the steady run
+    # is the production-throughput number (a deployment streams many
+    # datasets through one resident process), the cold run records the
+    # one-time bring-up
     rng2 = np.random.default_rng(11)
     _, e2e_reads = _simulate(rng2, E2E_READS)
     cfg = AssemblyConfig()
+    t0 = time.perf_counter()
+    assemble(e2e_reads, cfg, backend="device")
+    cold_dt = time.perf_counter() - t0
     timer = StageTimer(echo=False)
     t0 = time.perf_counter()
     res = assemble(e2e_reads, cfg, backend="device", timer=timer)
@@ -135,6 +144,8 @@ def main() -> None:
                 "baseline_reads_per_s": round(oracle_reads_s, 1),
                 "e2e_reads": len(e2e_reads),
                 "e2e_wall_s": round(e2e_dt, 2),
+                "e2e_cold_wall_s": round(cold_dt, 2),
+                "e2e_cold_reads_per_s": round(len(e2e_reads) / cold_dt, 1),
                 "stages_s": stages,
                 "n_transcripts": res.stats["n_transcripts"],
                 "counting": {

@@ -245,19 +245,30 @@ def _slice_spectrum(spec: Spectrum, cap: int) -> Spectrum:
     )
 
 
+def merge_spectra_fixed(a: Spectrum, b: Spectrum) -> Spectrum:
+    """Batch-to-batch merge at the inputs' (equal) capacity: ONE
+    compiled program for the whole counting run.  The axon TPU runtime
+    charges tens of seconds per DISTINCT program per process (measured:
+    79s first call vs 66ms steady state for the counting kernel, warm
+    persistent cache), so the merge loop must not mint a new shape per
+    batch — content-sized merging did exactly that and dominated e2e
+    wall-clock.  Callers fall back to merge_spectra_sized (growth) only
+    when this overflows."""
+    if a.capacity != b.capacity:
+        raise ValueError(f"capacity mismatch {a.capacity} != {b.capacity}")
+    return _merge_at(a, b, a.capacity)
+
+
 def merge_spectra_sized(a: Spectrum, b: Spectrum) -> Spectrum:
     """Batch-to-batch merge at *tight* capacity: shrink both inputs to
     tight_capacity(n) lanes and merge into tight_capacity(na + nb).
 
-    Merging at the full counting capacity sorts 2 * capacity lanes per
-    merge no matter how few k-mers are real — at the default 2^22 table
-    that is the 8.4M-lane shape that both compiles slowly and has
-    crashed this TPU stack (see tight_capacity).  Sizing by content
-    keeps merge sorts proportional to the distinct k-mer count and lets
-    the global table grow past the per-batch capacity without overflow.
-    Output capacity is quantized (tight_capacity) to bound the number
-    of distinct compiled shapes.  Host sync on a.n/b.n is fine here:
-    the driver is already a host loop."""
+    The growth path behind merge_spectra_fixed: used when the global
+    table outgrows the per-batch capacity (overflow of the fixed-shape
+    merge) — content-sized capacities mint new program shapes, which the
+    axon runtime charges dearly for, so this stays off the common path.
+    Host sync on a.n/b.n is fine here: the driver is already a host
+    loop."""
     na, nb = int(a.n), int(b.n)
     cap_out = tight_capacity(na + nb)
     a = _slice_spectrum(a, tight_capacity(na))
@@ -265,16 +276,21 @@ def merge_spectra_sized(a: Spectrum, b: Spectrum) -> Spectrum:
     return _merge_at(a, b, cap_out)
 
 
-def tight_capacity(n: int, slack: float = 1.05, quantum: int = 1 << 19) -> int:
-    """Smallest quantum-aligned capacity >= n * slack.  The graph stages
-    run at this tight capacity instead of the counting table's: the
-    node space is 2x the spectrum capacity, and on this hardware both
-    compile time and a worker crash appeared at the 8.4M-lane (2 * 2^22)
-    shape while 7.34M lanes work — so never carry more padding into the
-    graph phase than the corrected k-mer count needs.  Quantizing to
-    2^19 bounds the number of distinct compiled program shapes."""
-    want = int(n * slack) + 1
-    return ((want + quantum - 1) // quantum) * quantum
+def tight_capacity(n: int, slack: float = 1.05, minimum: int = 1 << 19) -> int:
+    """Smallest capacity >= n * slack on the geometric grid
+    {2^k, 1.5 * 2^k}.  The graph stages run at this tight capacity
+    instead of the counting table's: the node space is 2x the spectrum
+    capacity, and on this hardware both compile time and a worker crash
+    appeared at the 8.4M-lane (2 * 2^22) shape while 7.34M lanes work —
+    so never carry more padding into the graph phase than the corrected
+    k-mer count needs.  The geometric grid (max 50% waste) keeps the
+    set of distinct compiled shapes DATASET-INDEPENDENT: with a linear
+    quantum every dataset size minted fresh multi-minute axon remote
+    compiles for the merge/correction/condense programs; on the grid
+    they hit the persistent cache across datasets and rounds."""
+    want = max(int(n * slack) + 1, minimum)
+    p = 1 << (want - 1).bit_length()  # smallest 2^k >= want
+    return p // 4 * 3 if p // 4 * 3 >= want else p
 
 
 def shrink_spectrum(spec: Spectrum) -> Spectrum:
@@ -352,14 +368,23 @@ def count_reads_spectrum(
             jnp.asarray(codes), jnp.asarray(lengths), k, capacity, canonical
         )
         if part.overflowed():
-            # must be caught here: the sized merge below would grow the
-            # table past `capacity` and silently absorb the truncation
+            # must be caught here: a growing merge below would absorb
+            # the truncation silently
             raise RuntimeError(
                 f"batch of {codes.shape[0]} reads produced more than "
                 f"capacity={capacity} distinct k-mers; raise kmer_capacity "
                 "or lower batch_reads"
             )
-        total = part if total is None else merge_spectra_sized(total, part)
+        if total is None:
+            total = part
+        elif total.capacity == part.capacity:
+            merged = merge_spectra_fixed(total, part)
+            if merged.overflowed():  # global table outgrew the capacity
+                total = merge_spectra_sized(total, part)
+            else:
+                total = merged
+        else:  # already grown: stay on the sized path
+            total = merge_spectra_sized(total, part)
     if total is None:
         total = Spectrum(
             hi=jnp.full(capacity, SENTINEL, jnp.uint32),

@@ -92,6 +92,13 @@ class NodeGraph:
         self._offs = np.zeros(1, np.int64)
         self._weights = np.empty(0, np.int64)
         self._list_cache: list[list[int]] | None = None
+        # structural-dirty flag: condense() is a no-op on an
+        # already-condensed graph, and only degree DROPS (remove_node)
+        # can create new mergeable chains — adding edges never does —
+        # so clean graphs skip the full-node chain scan (MB/SF call
+        # condense every round; most rounds of most component buckets
+        # are already clean)
+        self._dirty = True
         self.set_paths(list(paths) if paths else [], path_weights)
 
     # ---- flat path storage -------------------------------------------
@@ -194,6 +201,7 @@ class NodeGraph:
             self.nodes[v].inc.append(u)
 
     def remove_node(self, v: int) -> None:
+        self._dirty = True
         nv = self.nodes[v]
         for u in nv.inc:
             if u != v:
@@ -219,6 +227,9 @@ class NodeGraph:
         k-mer-count-weighting abundances.  Read paths are remapped
         (vectorized).  Deterministic: chains are walked from their
         lowest-id head."""
+        if not self._dirty:
+            return
+        self._dirty = False
         n0 = len(self.nodes)
 
         def mergeable(u: int, v: int) -> bool:

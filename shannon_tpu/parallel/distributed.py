@@ -158,7 +158,7 @@ def count_reads_spectrum_sharded(
     Returns (spectrum, overflowed)."""
     import numpy as np
 
-    from shannon_tpu.ops.count import merge_spectra_sized
+    from shannon_tpu.ops.count import merge_spectra_fixed, merge_spectra_sized
 
     n_dev = mesh.devices.size
     n = batch_codes.shape[0]
@@ -182,7 +182,19 @@ def count_reads_spectrum_sharded(
             canonical,
         )
         overflowed |= bool(ovf)
-        total = part if total is None else merge_spectra_sized(total, part)
+        if total is None:
+            total = part
+        elif total.capacity == part.capacity:
+            # fixed-shape merge (one program for the whole run); grow
+            # only on overflow — see ops.count.merge_spectra_fixed
+            merged = merge_spectra_fixed(total, part)
+            total = (
+                merge_spectra_sized(total, part)
+                if merged.overflowed()
+                else merged
+            )
+        else:
+            total = merge_spectra_sized(total, part)
     if total is None:
         from shannon_tpu.ops.kmers import SENTINEL as _S
 

@@ -195,24 +195,53 @@ def _thread_device(
                 jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
             )
         )
-        W, R = ev_cid.shape[1], r_p0.shape[1]
+        ne = np.asarray(n_events, np.int32)
+        # trim to the columns actually used before the row dedup: the
+        # device outputs are [N, W≈105] / [N, R≈54] but real reads hit
+        # a handful of events/runs — np.unique over full-width rows was
+        # measured at ~24s per 250k reads, ~10x that of trimmed rows
+        w_used = max(int(ne.max(initial=0)), 1)
+        rp0 = np.asarray(r_p0, np.int32)
+        r_used = max(int((rp0 != -1).sum(axis=1).max(initial=0)), 1)
         part = np.hstack(
             [
-                np.asarray(ev_cid, np.int32),
-                np.asarray(ev_run, np.int32),
-                np.asarray(n_events, np.int32)[:, None],
-                np.asarray(r_p0, np.int32),
-                np.asarray(r_p1, np.int32),
-                np.asarray(r_o0, np.int32),
-                np.asarray(r_o1, np.int32),
+                np.asarray(ev_cid, np.int32)[:, :w_used],
+                np.asarray(ev_run, np.int32)[:, :w_used],
+                ne[:, None],
+                rp0[:, :r_used],
+                np.asarray(r_p1, np.int32)[:, :r_used],
+                np.asarray(r_o0, np.int32)[:, :r_used],
+                np.asarray(r_o1, np.int32)[:, :r_used],
                 np.asarray(lengths, np.int32)[:, None],
             ]
         )
-        rows_parts.append(part[: e - s])
+        rows_parts.append((part[: e - s], w_used, r_used))
     if not rows_parts:
         return expand_paths([], cgraph, config, paired=batch.paired)
     t1 = _time.perf_counter()
-    rows_all = np.vstack(rows_parts)  # [N, 2W + 1 + 4R + 1] per read
+    W = max(w for _p, w, _r in rows_parts)
+    R = max(r for _p, _w, r in rows_parts)
+
+    def _widen(p: np.ndarray, w: int, r: int) -> np.ndarray:
+        if w == W and r == R:
+            return p
+        n_rows = p.shape[0]
+        blocks = []
+        c = 0
+        for width, target, fill in (
+            (w, W, -1), (w, W, -1), (1, 1, 0),
+            (r, R, -1), (r, R, -1), (r, R, -1), (r, R, -1), (1, 1, 0),
+        ):
+            blk = p[:, c : c + width]
+            if target > width:
+                blk = np.pad(
+                    blk, ((0, 0), (0, target - width)), constant_values=fill
+                )
+            blocks.append(blk)
+            c += width
+        return np.hstack(blocks)
+
+    rows_all = np.vstack([_widen(p, w, r) for p, w, r in rows_parts])
     ncol = rows_all.shape[1]
     # pairs dedup as units so mate weights stay aligned
     group = 2 if (batch.paired and config.use_pairs) else 1

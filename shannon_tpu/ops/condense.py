@@ -52,6 +52,10 @@ class ContigArrays:
     # per contig
     klen: jnp.ndarray  # [C2] int32 #member k-mers
     abundance: jnp.ndarray  # [C2] float32 mean member count
+    count_sum: jnp.ndarray  # [C2] int32 exact sum of member counts
+    # (abundance == float32(count_sum)/float32(klen); the exact integer
+    # sum lets host graph passes recompute merged-contig abundances
+    # bit-identically to the oracle)
     head_lane: jnp.ndarray  # [C2] int32 node lane of first k-mer
     tail_lane: jnp.ndarray  # [C2] int32 node lane of last k-mer
     out_edges: jnp.ndarray  # [4, C2] int32 successor cid or -1 (base-first
@@ -64,9 +68,9 @@ class ContigArrays:
     def tree_flatten(self):
         return (
             self.node_hi, self.node_lo, self.node_count, self.node_cid,
-            self.node_off, self.klen, self.abundance, self.head_lane,
-            self.tail_lane, self.out_edges, self.rc_pair, self.n_nodes,
-            self.n_contigs,
+            self.node_off, self.klen, self.abundance, self.count_sum,
+            self.head_lane, self.tail_lane, self.out_edges, self.rc_pair,
+            self.n_nodes, self.n_contigs,
         ), None
 
     @classmethod
@@ -300,6 +304,7 @@ def _finish_stage(
         node_off=jnp.where(real, dist, -1),
         klen=klen,
         abundance=abundance,
+        count_sum=csum,
         head_lane=head_lane,
         tail_lane=tail_lane,
         out_edges=out_edges,

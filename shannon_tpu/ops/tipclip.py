@@ -1,16 +1,21 @@
-"""Device tip clipping (oracle spec: shannon_tpu/oracle/correction.py
-step 3) — remove short dead-end/isolated/bubble contigs dominated at
-their attachment junction, then drop their k-mers from the spectrum.
+"""Tip clipping (oracle spec: shannon_tpu/oracle/correction.py step 3)
+— remove short dead-end/isolated/bubble contigs dominated at their
+attachment junction, then drop their k-mers from the spectrum.
 
-The 'max competitor abundance excluding self' at a junction is computed
-with a top-2 scatter-max: m1 = max in-neighbor abundance per target,
-m2 = max over in-neighbors strictly below m1, plus a count of m1
-achievers — then a contig sees m2 only when it is the *unique* maximum.
-All float32, matching the oracle comparison spec.
-
-Layout: all per-edge arrays are [4, C2] (base/slot axis FIRST) — TPU
-tiling pads the minor dim to 128, so [C2, 4] layouts would pad 32x
-(see ops/condense._probe_neighbors).
+Division of labor (same rationale as ops/partition): the per-k-mer
+heavy lifting — condensation into contigs and the final spectrum
+compaction — runs on device (sort/probe kernels over millions of
+lanes), while the clip-and-re-merge FIXPOINT iteration runs on host at
+CONTIG granularity (tens of thousands of nodes).  The previous design
+re-ran the full device condensation every round: 8 rounds x ~25s of
+k-mer-scale rebuilds = 200s of steady-state execution per 250k-read
+assembly (measured), against milliseconds of contig-scale host work
+for the identical result.  Equivalence: removing whole contigs and
+re-condensing the k-mer graph merges exactly the contig chains the
+removal exposes, and the merged contig's abundance equals
+float32(sum of member count_sums) / float32(sum of klens) — the
+oracle's formula over member k-mers, computed bit-identically from the
+exact integer count sums the device emits (ContigArrays.count_sum).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from shannon_tpu.ops.condense import ContigArrays, build_contig_arrays
 from shannon_tpu.ops.correction import _compact
@@ -27,153 +33,143 @@ from shannon_tpu.ops.kmers import SENTINEL
 from shannon_tpu.ops.spectrum import lookup_hilo
 
 
-def tip_clip_round(
-    spec: Spectrum,
-    k: int,
-    sibling_ratio: jnp.ndarray,
-    tip_klen: int,
-    min_len: int,
-    canonical: bool = True,
-) -> tuple[Spectrum, jnp.ndarray]:
-    """One condensation + clip round: two separate device programs
-    (graph build, then clip decision) — smaller peak memory than one
-    fused program, and failures bisect cleanly."""
-    ca = build_contig_arrays(spec, k, canonical)
-    return _clip_decide(spec, ca, k, sibling_ratio, tip_klen, min_len)
+def _host_clip_rounds(
+    klen: np.ndarray,
+    csum: np.ndarray,
+    out_adj: list[list[int]],
+    config,
+) -> np.ndarray:
+    """Iterated contig-level tip clipping: returns a bool mask over the
+    ORIGINAL contigs (True = remove its k-mers).  Mirrors oracle
+    clip_tips exactly: per round, doom short isolated / dominated
+    dead-end / popped-bubble contigs (float32 comparisons), then merge
+    the chains the removals expose (klen and count sums add), repeat to
+    fixpoint or correction_rounds."""
+    tip_klen = config.tip_klen_effective
+    ratio = np.float32(config.sibling_ratio)
+    min_len = config.min_transcript_length
+    n = len(klen)
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    kl = {i: int(klen[i]) for i in range(n)}
+    cs = {i: int(csum[i]) for i in range(n)}
+    out: dict[int, list[int]] = {i: list(out_adj[i]) for i in range(n)}
+    inc: dict[int, list[int]] = {i: [] for i in range(n)}
+    for u, tgts in out.items():
+        for v in tgts:
+            inc[v].append(u)
+    doomed_mask = np.zeros(n, bool)
+
+    def ab(c: int) -> np.float32:
+        return np.float32(cs[c]) / np.float32(kl[c])
+
+    for _ in range(config.correction_rounds):
+        doomed: list[int] = []
+        for c in out:
+            if kl[c] > tip_klen:
+                continue
+            has_in = len(inc[c]) > 0
+            has_out = len(out[c]) > 0
+            if not has_in and not has_out:
+                if kl[c] + config.k - 1 < min_len:
+                    doomed.append(c)
+                continue
+            if has_in and has_out:
+                if len(inc[c]) == 1 and len(out[c]) == 1:
+                    u, w = inc[c][0], out[c][0]
+                    comp = np.float32(0.0)
+                    for x in out[u]:
+                        if x != c and x in inc[w]:
+                            comp = max(comp, ab(x))
+                    if ab(c) < ratio * comp:
+                        doomed.append(c)
+                continue
+            comp = np.float32(0.0)
+            if not has_in:  # attached on the right
+                for d in out[c]:
+                    for e in inc[d]:
+                        if e != c:
+                            comp = max(comp, ab(e))
+            else:  # attached on the left
+                for d in inc[c]:
+                    for e in out[d]:
+                        if e != c:
+                            comp = max(comp, ab(e))
+            if ab(c) < ratio * comp:
+                doomed.append(c)
+        if not doomed:
+            break
+        for c in doomed:
+            doomed_mask[members[c]] = True
+            for u in inc[c]:
+                if u != c:
+                    out[u] = [x for x in out[u] if x != c]
+            for w in out[c]:
+                if w != c:
+                    inc[w] = [x for x in inc[w] if x != c]
+            del out[c], inc[c], kl[c], cs[c], members[c]
+        # merge exposed chains: u -> v with outdeg(u)==1, indeg(v)==1,
+        # u != v (repeat until none; cycles merge down to a self-loop,
+        # matching the oracle's single-contig cycle with self-edge)
+        merged = True
+        while merged:
+            merged = False
+            for u in list(out):
+                if u not in out or len(out[u]) != 1:
+                    continue
+                v = out[u][0]
+                if v == u or len(inc[v]) != 1:
+                    continue
+                # merge v into u
+                kl[u] += kl[v]
+                cs[u] += cs[v]
+                members[u].extend(members[v])
+                out[u] = [x if x != v else u for x in out[v]]
+                # rewire v's successors' in-lists
+                for w in out[u]:
+                    inc[w] = [x if x != v else u for x in inc[w]]
+                del out[v], inc[v], kl[v], cs[v], members[v]
+                merged = True
+    return doomed_mask
 
 
-@partial(jax.jit, static_argnames=("k", "tip_klen", "min_len"))
-def _clip_decide(
-    spec: Spectrum,
-    ca: ContigArrays,
-    k: int,
-    sibling_ratio: jnp.ndarray,
-    tip_klen: int,
-    min_len: int,
-) -> tuple[Spectrum, jnp.ndarray]:
+@jax.jit
+def _drop_contigs(
+    spec: Spectrum, ca: ContigArrays, doomed_c: jnp.ndarray
+) -> Spectrum:
+    """Remove the k-mers of doomed contigs from the spectrum (one
+    device program: entry -> contig lookup + compaction sort)."""
     C2 = ca.node_hi.shape[0]
-    n_c = ca.n_contigs
-    cid_iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
-    contig_real = cid_iota < n_c
-
-    e_tgt = ca.out_edges  # [4, C2] cid or -1
-    e_valid = (e_tgt >= 0) & contig_real[None, :]
-    e_src = jnp.broadcast_to(cid_iota[None, :], e_tgt.shape)
-    tgt_safe = jnp.where(e_valid, e_tgt, C2)
-    src_safe = jnp.where(e_valid, e_src, C2)
-
-    ab = ca.abundance  # [C2] float32
-    ab_src = jnp.where(e_valid, ab[jnp.clip(e_src, 0, C2 - 1)], 0.0)
-    ab_tgt = jnp.where(e_valid, ab[jnp.clip(e_tgt, 0, C2 - 1)], 0.0)
-
-    outdeg = e_valid.sum(axis=0)
-    indeg = jnp.zeros(C2 + 1, jnp.int32).at[tgt_safe].add(1)[:C2]
-
-    # --- top-2 in-neighbor abundance per target ------------------------
-    m1 = jnp.zeros(C2 + 1, jnp.float32).at[tgt_safe].max(ab_src)[:C2]
-    at_max = e_valid & (ab_src == m1[jnp.clip(e_tgt, 0, C2 - 1)])
-    cnt1 = jnp.zeros(C2 + 1, jnp.int32).at[
-        jnp.where(at_max, e_tgt, C2)
-    ].add(1)[:C2]
-    m2 = jnp.zeros(C2 + 1, jnp.float32).at[
-        jnp.where(e_valid & ~at_max, e_tgt, C2)
-    ].max(ab_src)[:C2]
-    # competitor max for edge (c, d), excluding c
-    comp_edge_r = jnp.where(
-        at_max & (cnt1[jnp.clip(e_tgt, 0, C2 - 1)] == 1),
-        m2[jnp.clip(e_tgt, 0, C2 - 1)],
-        m1[jnp.clip(e_tgt, 0, C2 - 1)],
-    )
-    comp_right = jnp.where(e_valid, comp_edge_r, 0.0).max(axis=0)
-
-    # --- top-2 out-neighbor abundance per source (mirror) --------------
-    w1 = jnp.zeros(C2 + 1, jnp.float32).at[src_safe].max(ab_tgt)[:C2]
-    at_wmax = e_valid & (ab_tgt == w1[jnp.clip(e_src, 0, C2 - 1)])
-    cntw = jnp.zeros(C2 + 1, jnp.int32).at[
-        jnp.where(at_wmax, e_src, C2)
-    ].add(1)[:C2]
-    w2 = jnp.zeros(C2 + 1, jnp.float32).at[
-        jnp.where(e_valid & ~at_wmax, e_src, C2)
-    ].max(ab_tgt)[:C2]
-    comp_edge_l = jnp.where(
-        at_wmax & (cntw[jnp.clip(e_src, 0, C2 - 1)] == 1),
-        w2[jnp.clip(e_src, 0, C2 - 1)],
-        w1[jnp.clip(e_src, 0, C2 - 1)],
-    )
-    # scatter to the *target*: max over in-edges (s, c) of s's other outs
-    comp_left = jnp.zeros(C2 + 1, jnp.float32).at[tgt_safe].max(
-        jnp.where(e_valid, comp_edge_l, 0.0)
-    )[:C2]
-
-    # --- bubble rule: u -> c -> w dominated by a parallel u -> x -> w --
-    # single in-neighbor (valid when indeg == 1) via scatter-max
-    in_nb = jnp.full(C2 + 1, -1, jnp.int32).at[tgt_safe].max(
-        jnp.where(e_valid, e_src, -1)
-    )[:C2]
-    out_nb = jnp.where(e_valid, e_tgt, -1).max(axis=0)  # valid when outdeg==1
-    u_safe = jnp.clip(in_nb, 0, C2 - 1)
-    w = out_nb
-    # competitor x: u -> x (slot a) with an edge x -> w (slot b);
-    # 16 static [C2]-vector passes, no [C2, 4, 4] materialization
-    comp_bubble = jnp.zeros(C2, jnp.float32)
-    for a in range(4):
-        xs = e_tgt[a, u_safe]  # [C2] out-neighbor a of u
-        xs_safe = jnp.clip(xs, 0, C2 - 1)
-        x_to_w = jnp.zeros(C2, bool)
-        for b in range(4):
-            x_to_w = x_to_w | (e_tgt[b, xs_safe] == w)
-        x_ok = (
-            (xs >= 0)
-            & (xs != cid_iota)
-            & x_to_w
-            & (in_nb >= 0)
-            & (w >= 0)
-        )
-        comp_bubble = jnp.maximum(
-            comp_bubble, jnp.where(x_ok, ab[xs_safe], 0.0)
-        )
-
-    seq_len = ca.klen + k - 1
-    short = contig_real & (ca.klen <= tip_klen)
-    ratio = sibling_ratio.astype(jnp.float32)
-    doomed_c = short & (
-        ((indeg == 0) & (outdeg == 0) & (seq_len < min_len))
-        | ((indeg == 0) & (outdeg > 0) & (ab < ratio * comp_right))
-        | ((outdeg == 0) & (indeg > 0) & (ab < ratio * comp_left))
-        | ((indeg == 1) & (outdeg == 1) & (ab < ratio * comp_bubble))
-    )
-    n_doomed = doomed_c.sum(dtype=jnp.int32)
-
-    # --- drop doomed contigs' k-mers from the spectrum -----------------
-    # each spectrum entry is canonical; find its node lane -> cid
     idx, hit = lookup_hilo(ca.node_hi, ca.node_lo, spec.hi, spec.lo)
     cid_of_entry = jnp.where(hit, ca.node_cid[idx], -1)
     entry_doomed = (cid_of_entry >= 0) & doomed_c[
         jnp.clip(cid_of_entry, 0, C2 - 1)
     ]
     pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
-    new_spec = _compact(spec, ~entry_doomed & ~pad)
-    return new_spec, n_doomed
+    return _compact(spec, ~entry_doomed & ~pad)
 
 
 def clip_tips_spectrum(
     spec: Spectrum, config, canonical: bool = True
 ) -> Spectrum:
-    """Iterated tip clipping to fixpoint (host loop over jitted rounds),
-    matching oracle clip_tips."""
+    """Iterated tip clipping to fixpoint, matching oracle clip_tips:
+    one device condensation + host contig-level rounds + one device
+    compaction."""
     tip_klen = config.tip_klen_effective
     if tip_klen < 0:
         return spec
-    ratio = jnp.float32(config.sibling_ratio)
-    for _ in range(config.correction_rounds):
-        spec, n_doomed = tip_clip_round(
-            spec,
-            config.k,
-            ratio,
-            tip_klen,
-            config.min_transcript_length,
-            canonical,
-        )
-        if int(n_doomed) == 0:
-            break
-    return spec
+    ca = build_contig_arrays(spec, config.k, canonical)
+    n = int(ca.n_contigs)
+    if n == 0:
+        return spec
+    klen = np.asarray(ca.klen[:n])
+    csum = np.asarray(ca.count_sum[:n])
+    out_e = np.asarray(ca.out_edges[:, :n])  # [4, n]
+    out_adj = [
+        sorted({int(x) for x in out_e[:, c] if x >= 0}) for c in range(n)
+    ]
+    doomed = _host_clip_rounds(klen, csum, out_adj, config)
+    if not doomed.any():
+        return spec
+    doomed_pad = np.zeros(ca.node_hi.shape[0], bool)
+    doomed_pad[:n] = doomed
+    return _drop_contigs(spec, ca, jnp.asarray(doomed_pad))

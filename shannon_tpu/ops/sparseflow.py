@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shannon_tpu.oracle.sparseflow import _node_flows, fnv1a, solve_node
+from shannon_tpu.oracle.sparseflow import SF_MAXD, _node_flows, fnv1a, solve_node
 
-MAXD = 8  # padded margin size per side
+MAXD = SF_MAXD  # padded margin size per side
 
 
 def _tie_hash_dev(i, j, seed):
@@ -133,22 +133,30 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
         )
     )  # [B*K, MAXD, MAXD]
 
+    # vectorized restart selection: key = (pairing count, support
+    # bitmask at stride MAXD — identical to the host key); earliest
+    # restart among equal keys wins, matching oracle _best_of_restarts
+    nz = F[: B * K] > 0  # [B*K, MAXD, MAXD]
+    counts = nz.sum(axis=(1, 2)).reshape(B, K)
+    bit = (
+        np.uint64(1)
+        << (
+            np.arange(MAXD, dtype=np.uint64)[:, None] * np.uint64(MAXD)
+            + np.arange(MAXD, dtype=np.uint64)[None, :]
+        )
+    )
+    masks = (nz * bit).sum(axis=(1, 2), dtype=np.uint64).reshape(B, K)
+    cmin = counts.min(axis=1, keepdims=True)
+    cand = counts == cmin
+    m_masked = np.where(cand, masks, np.uint64(0xFFFFFFFFFFFFFFFF))
+    mmin = m_masked.min(axis=1, keepdims=True)
+    best_r = (cand & (m_masked == mmin)).argmax(axis=1)  # first True
+
     for bi, (v, ins, outs, brows, bcols, ab, bb, s, node_seed) in enumerate(
         jobs
     ):
         M, N = len(ab), len(bb)
-        best_key = None
-        best_F = None
-        for r in range(K):
-            Fr = F[bi * K + r, :M, :N]
-            nz = Fr > 0
-            count = int(nz.sum())
-            mask = 0
-            for i, j in zip(*np.nonzero(nz)):
-                mask |= 1 << (int(i) * N + int(j))
-            key = (count, mask)
-            if best_key is None or key < best_key:
-                best_key, best_F = key, Fr
+        best_F = F[bi * K + best_r[bi], :M, :N]
         thresh = np.float32(config.sf_min_flow_frac) * np.float32(s)
         result[v].extend(
             (ins[brows[i]], outs[bcols[j]], float(best_F[i, j]))

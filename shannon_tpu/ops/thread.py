@@ -63,16 +63,28 @@ def thread_reads_device(
     run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
     run_id = jnp.where(hit, run_id, -1)
 
-    # Per-row compaction via row-wise sorts (scatters are ~10x slower
-    # than sorts on this hardware; see ops/count._unique_reduce).
-    MSB = jnp.uint32(0x80000000)
+    # Per-row compaction via FLAT sorts with (row, flagged-col) packed
+    # into one uint32 key — scatters are ~10x slower than sorts on this
+    # hardware (ops/count._unique_reduce), and batched row-wise sorts
+    # ([B, m] along the last axis) are far slower than one flat sort of
+    # the same lanes (docs/DESIGN.md, measured).  W < 128, so the
+    # flagged column packs into 8 bits under the row index.
+    assert W < 128, "read_pad_length implies >127 windows; widen the key"
     col = jax.lax.broadcasted_iota(jnp.uint32, (N, W), 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (N, W), 0)
+    base = row << jnp.uint32(8)
+    FLAG = jnp.uint32(128)
+
+    def row_compact(flag: jnp.ndarray, payloads: tuple) -> tuple:
+        key = base | jnp.where(flag, col, col | FLAG)
+        flat = jax.lax.sort(
+            (key.reshape(-1), *(p.reshape(-1) for p in payloads)),
+            num_keys=1,
+        )
+        return tuple(p.reshape(N, W) for p in flat[1:])
 
     is_event = hit & (run_start | (off == 0))
-    key_ev = jnp.where(is_event, col, col | MSB)
-    _, ev_cid, ev_run = jax.lax.sort(
-        (key_ev, cid, run_id), dimension=-1, num_keys=1
-    )
+    ev_cid, ev_run = row_compact(is_event, (cid, run_id))
     n_events = is_event.sum(axis=1).astype(jnp.int32)
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
     ev_cid = jnp.where(idx < n_events[:, None], ev_cid, -1)
@@ -82,10 +94,8 @@ def thread_reads_device(
     # spans columns [start_r, end_r] (contiguous hits); the contig
     # offsets of those two anchor windows ride the same sorts
     max_runs = (W + 1) // 2 + 1
-    key_s = jnp.where(run_start, col, col | MSB)
-    _, s_pos, s_off = jax.lax.sort((key_s, idx, off), dimension=-1, num_keys=1)
-    key_e = jnp.where(run_end, col, col | MSB)
-    _, e_pos, e_off = jax.lax.sort((key_e, idx, off), dimension=-1, num_keys=1)
+    s_pos, s_off = row_compact(run_start, (idx, off))
+    e_pos, e_off = row_compact(run_end, (idx, off))
     n_runs = run_start.sum(axis=1).astype(jnp.int32)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (N, max_runs), 1)
     valid_r = ridx < n_runs[:, None]

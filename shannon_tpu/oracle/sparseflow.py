@@ -38,6 +38,12 @@ import numpy as np
 from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.nodegraph import NodeGraph
 
+SF_MAXD = 8  # padded margin size per side of the batched device solver
+# (ops/sparseflow.MAXD re-exports this); the restart-selection bitmask
+# uses stride SF_MAXD so host and device compute identical keys and the
+# device side vectorizes over the fixed [MAXD, MAXD] flow tensors
+
+
 def fnv1a(data: bytes) -> int:
     h = 2166136261
     for byte in data:
@@ -115,10 +121,22 @@ def block_decompose(
     m + n is too large to enumerate.
     """
     m, n = len(a), len(b)
-    if m + n > 12 or m == 0 or n == 0:
-        return []
+    if m + n > 12 or m <= 1 or n <= 1:
+        return []  # a single row/col admits only the trivial block
     af = [float(x) for x in a]
     bf = [float(x) for x in b]
+    if m == 2 and n == 2:
+        # closed form for the dominant dBG case (the DP's exact result)
+        d_id = max(abs(af[0] - bf[0]), abs(af[1] - bf[1]))
+        s_id = abs(af[0] - bf[0]) + abs(af[1] - bf[1])
+        d_cr = max(abs(af[0] - bf[1]), abs(af[1] - bf[0]))
+        s_cr = abs(af[0] - bf[1]) + abs(af[1] - bf[0])
+        ok_id, ok_cr = d_id <= tol, d_cr <= tol
+        if ok_id and (not ok_cr or s_id <= s_cr):
+            return [((0,), (0,)), ((1,), (1,))]
+        if ok_cr:
+            return [((0,), (1,)), ((1,), (0,))]
+        return []
     sum_a = {mask: sum(af[i] for i in range(m) if mask >> i & 1)
              for mask in range(1 << m)}
     sum_b = {mask: sum(bf[j] for j in range(n) if mask >> j & 1)
@@ -270,14 +288,14 @@ def _best_of_restarts(
     ab: np.ndarray, bb: np.ndarray, node_seed: int, config: AssemblyConfig
 ) -> list[tuple[int, int, float]]:
     """Greedy + seeded restarts on one margin pair; selection key =
-    (pairing count, support-bitmask) — bitmask bit i*N+j, compared as
-    two uint32 words by the device solver (M*N <= 64)."""
+    (pairing count, support-bitmask) — bitmask bit i*SF_MAXD+j (the
+    device solver's fixed stride, so both solvers pick identically)."""
     best = greedy_decompose(ab, bb, seed=None)
 
     def key(sol: list[tuple[int, int, float]]) -> tuple:
         mask = 0
         for i, j, _ in sol:
-            mask |= 1 << (i * len(bb) + j)
+            mask |= 1 << (i * SF_MAXD + j)
         return (len(sol), mask)
 
     for r in range(config.sf_restarts):

@@ -141,6 +141,41 @@ void encode_row(const char* src, long n, int32_t pad_len, uint8_t* row,
 
 extern "C" {
 
+// Longest record sequence length in bases (multi-line FASTA records
+// sum their lines), or -1 on error.  Drives auto pad sizing
+// (shannon_tpu.io.pack.auto_pad_length) so the native path never
+// silently truncates: the Python wrapper scans this before allocating.
+long sti_max_seq_len(const char* path) {
+    Reader r(path);
+    if (!r.f) return -1;
+    long first;
+    Fmt fmt = sniff(r, first);
+    if (fmt == FMT_BAD) return -1;
+    long best = 0, cur = 0, n;
+    if (fmt == FMT_FASTA) {
+        while ((n = r.line()) >= 0) {
+            if (n > 0 && r.buf[0] == '>') {
+                if (cur > best) best = cur;
+                cur = 0;
+            } else {
+                cur += n;
+            }
+        }
+        return cur > best ? cur : best;
+    }
+    for (;;) {
+        n = r.line();  // sequence
+        if (n < 0) return -1;
+        if (n > best) best = n;
+        if (r.line() < 0) return -1;  // '+'
+        if (r.line() < 0) return -1;  // quals
+        long h = r.line();            // next header (or EOF)
+        if (h < 0) break;
+        if (h == 0 || r.buf[0] != '@') return -1;
+    }
+    return best;
+}
+
 // Count records (so Python can allocate exact-size arrays).
 long sti_count_records(const char* path) {
     Reader r(path);

@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-transcript-length", type=int, default=200)
     p.add_argument("--kmer-capacity", type=int, default=1 << 22,
                    help="device spectrum table capacity")
-    p.add_argument("--read-pad-length", type=int, default=128,
-                   help="device read padding (raise for long reads)")
+    p.add_argument("--read-pad-length", type=int, default=0,
+                   help="device read padding; 0 = auto-size to the "
+                        "longest read (32-base grid, never truncates)")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if artifacts exist")
     p.add_argument("--backend", choices=["device", "oracle"], default="device",

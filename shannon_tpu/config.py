@@ -133,10 +133,16 @@ class AssemblyConfig:
     part 4)."""
 
     # --- device/layout parameters (TPU-side only; no effect on output) ---
-    read_pad_length: int = 128
-    """Reads are padded/truncated to this many bases on device.  Static
-    shape for XLA; 128 covers standard short-read RNA-seq (76-150bp —
-    raise for longer reads)."""
+    read_pad_length: int = 0
+    """Device read-batch width in bases.  0 (default) = auto: sized to
+    the dataset's longest read on the 32-base grid (96, 128, 160, ...)
+    — never truncates, and the coarse grid keeps compiled shapes
+    dataset-independent.  The supported envelope is any read length
+    with batch_reads x windows packing into a 32-bit threading key
+    (up to ~32k bases at the default batch_reads; 150bp Illumina
+    libraries land on the 160 pad).  An explicit value pins the shape
+    (required for multi-host byte-range ingest, where every host must
+    agree) and TRUNCATES longer reads — documented, not silent."""
 
     kmer_capacity: int = 1 << 22
     """Fixed capacity of the on-device k-mer spectrum table (padded,

@@ -72,18 +72,34 @@ class ReadBatch:
         return ReadBatch(codes=codes, lengths=lengths, paired=self.paired)
 
 
+def auto_pad_length(max_len: int) -> int:
+    """Pad grid for pad_length=0 (auto): the smallest multiple of 32
+    >= max_len, floored at 96.  The coarse grid keeps the set of
+    compiled device shapes dataset-independent (76-96bp libraries share
+    the 96 pad, 100-128bp the classic 128, 129-160bp — incl. the
+    dominant 150bp Illumina shape — 160), so auto mode never silently
+    truncates and never mints a fresh XLA program per read length."""
+    return max(96, 32 * ((max_len + 31) // 32))
+
+
 def pack_reads(
     seqs: Iterable[str] | Sequence[str],
-    pad_length: int = 128,
+    pad_length: int = 0,
     paired: bool = False,
 ) -> ReadBatch:
     """Encode + pad a list of sequences into a ReadBatch.
 
-    Reads longer than pad_length are truncated (with a warning count kept by
-    the caller if needed); shorter reads are BASE_INVALID-padded.
+    pad_length=0 (auto): sized to the longest read on the 32-base grid
+    (auto_pad_length) — no truncation ever.  Explicit pad_length:
+    longer reads are truncated (callers surface the count; see
+    pipeline stats); shorter reads are BASE_INVALID-padded.
     """
     seq_list = list(seqs)
     n = len(seq_list)
+    if pad_length == 0:
+        pad_length = auto_pad_length(
+            max((len(s) for s in seq_list), default=1)
+        )
     codes = np.full((n, pad_length), BASE_INVALID, dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int32)
     for i, s in enumerate(seq_list):

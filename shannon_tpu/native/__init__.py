@@ -46,6 +46,8 @@ def load() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(str(so))
         lib.sti_count_records.restype = ctypes.c_long
         lib.sti_count_records.argtypes = [ctypes.c_char_p]
+        lib.sti_max_seq_len.restype = ctypes.c_long
+        lib.sti_max_seq_len.argtypes = [ctypes.c_char_p]
         lib.sti_parse_pack.restype = ctypes.c_long
         lib.sti_parse_pack.argtypes = [
             ctypes.c_char_p,
@@ -75,12 +77,14 @@ def load() -> ctypes.CDLL | None:
     return _lib
 
 
-def pack_file(path: str | os.PathLike, pad_length: int = 128):
+def pack_file(path: str | os.PathLike, pad_length: int = 0):
     """Parse + encode a FASTA/FASTQ file into a ReadBatch.  Uses the
     native parser when possible (plain files); gzip or loader failure
-    falls back to the Python path transparently."""
+    falls back to the Python path transparently.  pad_length=0 = auto:
+    sized to the file's longest read on the 32-base grid (one extra
+    native scan; never truncates)."""
     from shannon_tpu.io.fastx import read_fastx
-    from shannon_tpu.io.pack import ReadBatch, pack_reads
+    from shannon_tpu.io.pack import ReadBatch, auto_pad_length, pack_reads
 
     path = Path(path)
     lib = None if path.suffix == ".gz" else load()
@@ -91,6 +95,11 @@ def pack_file(path: str | os.PathLike, pad_length: int = 128):
         # malformed for the native fast path; Python parser raises the
         # descriptive error (or handles the corner case)
         return pack_reads((s for _, s in read_fastx(path)), pad_length)
+    if pad_length == 0:
+        max_len = lib.sti_max_seq_len(str(path).encode())
+        if max_len < 0:
+            return pack_reads((s for _, s in read_fastx(path)), pad_length)
+        pad_length = auto_pad_length(int(max_len))
     codes = np.empty((n, pad_length), dtype=np.uint8)
     lengths = np.empty(n, dtype=np.int32)
     got = lib.sti_parse_pack(

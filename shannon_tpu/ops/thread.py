@@ -67,13 +67,22 @@ def thread_reads_device(
     # into one uint32 key — scatters are ~10x slower than sorts on this
     # hardware (ops/count._unique_reduce), and batched row-wise sorts
     # ([B, m] along the last axis) are far slower than one flat sort of
-    # the same lanes (docs/DESIGN.md, measured).  W < 128, so the
-    # flagged column packs into 8 bits under the row index.
-    assert W < 128, "read_pad_length implies >127 windows; widen the key"
+    # the same lanes (docs/DESIGN.md, measured).  Column bits size to
+    # the window count (8 bits at the classic 128-base pad, 9 at a
+    # 150bp library's 160-base pad, ...), so any (batch, read-length)
+    # with row_bits + col_bits + 1 <= 32 packs — at the default
+    # batch_reads = 2^16 that allows reads up to ~32k bases.
+    col_bits = max((W - 1).bit_length(), 1) + 1  # +1 for the flag bit
+    row_bits = max((N - 1).bit_length(), 1)
+    if row_bits + col_bits > 32:
+        raise ValueError(
+            f"threading key overflow: batch of {N} reads x {W} windows "
+            "needs >32 key bits; lower batch_reads or read_pad_length"
+        )
     col = jax.lax.broadcasted_iota(jnp.uint32, (N, W), 1)
     row = jax.lax.broadcasted_iota(jnp.uint32, (N, W), 0)
-    base = row << jnp.uint32(8)
-    FLAG = jnp.uint32(128)
+    base = row << jnp.uint32(col_bits)
+    FLAG = jnp.uint32(1 << (col_bits - 1))
 
     def row_compact(flag: jnp.ndarray, payloads: tuple) -> tuple:
         key = base | jnp.where(flag, col, col | FLAG)

@@ -453,6 +453,12 @@ def run_pipeline(
                         host_byte_range,
                     )
 
+                    if config.read_pad_length == 0:
+                        raise ValueError(
+                            "multi-host byte-range ingest needs an "
+                            "explicit read_pad_length (auto sizing "
+                            "would let hosts disagree on shapes)"
+                        )
                     lo, hi = host_byte_range(single)
                     batch = pack_file_range(
                         single, lo, hi, pad_length=config.read_pad_length
@@ -474,8 +480,18 @@ def run_pipeline(
                 # transcript orientation (shared vectorized code-space RC)
                 from shannon_tpu.io.dna import revcomp_code_rows
 
+                # auto pad may differ between the two files (e.g. 150bp
+                # vs 151bp libraries): widen both to the common pad
+                pad = max(bl.pad_length, br.pad_length)
+                for b in (bl, br):
+                    if b.pad_length < pad:
+                        b.codes = np.pad(
+                            b.codes,
+                            ((0, 0), (0, pad - b.pad_length)),
+                            constant_values=4,
+                        )
                 n = bl.n_reads
-                codes = np.empty((2 * n, config.read_pad_length), np.uint8)
+                codes = np.empty((2 * n, pad), np.uint8)
                 lengths = np.empty(2 * n, np.int32)
                 codes[0::2] = bl.codes
                 lengths[0::2] = bl.lengths

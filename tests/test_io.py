@@ -116,3 +116,16 @@ def test_normalize_mate2_matches_string_rc():
     assert out[0] == reads[0] and out[2] == reads[2]
     assert out[1] == revcomp_str(reads[1])
     assert out[3] == revcomp_str(reads[3])
+
+
+def test_auto_pad_length_grid():
+    from shannon_tpu.io.pack import auto_pad_length, pack_reads
+
+    assert auto_pad_length(76) == 96
+    assert auto_pad_length(100) == 128
+    assert auto_pad_length(150) == 160
+    assert auto_pad_length(151) == 160
+    assert auto_pad_length(161) == 192
+    b = pack_reads(["A" * 150, "C" * 80])  # default = auto
+    assert b.pad_length == 160
+    assert list(b.lengths) == [150, 80]  # nothing truncated

@@ -117,10 +117,15 @@ def main() -> None:
     res = assemble(e2e_reads, cfg, backend="device", timer=timer)
     e2e_dt = time.perf_counter() - t0
     e2e_reads_s = len(e2e_reads) / e2e_dt
+    # full substage split (VERDICT r2 item 1a): every numeric note the
+    # StageTimer recorded (count_s/correct_s/tipclip_s/condense_s/
+    # materialize_s under spectrum+graph; kernel_s/dedup_s/expand_s under
+    # threading; per-phase wall under assembly), not just stage wall_s
     stages = {
-        name: rec.get("wall_s")
+        name: {
+            k: v for k, v in rec.items() if isinstance(v, (int, float))
+        }
         for name, rec in timer.stages.items()
-        if "wall_s" in rec
     }
 
     # --- oracle e2e denominator on a subset of the same data ------------

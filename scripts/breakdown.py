@@ -63,10 +63,11 @@ for pass_name in ("cold", "steady"):
     t0 = tick("condense(build_ca)", t0)
     cgraph = to_contig_graph(ca, cfg.k, cfg)
     t0 = tick("to_contig_graph(host)", t0)
-    paths, path_weights = _thread_device(batch, ca, cgraph, cfg, timer=timer)
+    evidence = _thread_device(batch, ca, cgraph, cfg, timer=timer)
     print(f"  thread notes: {timer.stages.get('threading')}", flush=True)
     t0 = tick("threading", t0)
-    g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
+    g = NodeGraph.from_contig_graph(cgraph)
+    g.set_paths_flat(*evidence)
     t0 = tick("nodegraph-build", t0)
     n_mb = multibridge(g, cfg)
     t0 = tick(f"multibridge({n_mb})", t0)

@@ -162,30 +162,73 @@ def _links_stage(node_hi, node_lo, k: int):
 
 
 def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> ContigArrays:
-    """Three device programs (node table, links, labeling+reduction) —
+    """Device programs (node table, links, labeling, reduction) —
     smaller peak memory than one fused program at multi-million-node
-    scale, and failures bisect to a stage."""
+    scale, and failures bisect to a stage.
+
+    Labeling uses an early-exit while_loop: chains converge in
+    ceil(log2(longest chain)) pointer-doubling rounds (~11 at pipeline
+    scale vs the 2 x 23 fixed rounds of the old fori_loop — the gather
+    rounds were the dominant condensation cost, measured 12.9s of a
+    16.5s stage at 8.4M lanes).  Cycles never converge, so the label
+    pass also reports whether any cycle exists; only then does the
+    min-propagation cycle-breaking pass (full log2(C2) rounds) run,
+    followed by one more label pass on the cut links."""
     node_hi, node_lo, node_count, n_nodes = _nodes_stage(spec, k, canonical)
     next_link, prev_link, s_idx, s_hit = _links_stage(node_hi, node_lo, k)
-    return _finish_stage(
+    ptr, dist, has_cycle = _label_stage(prev_link)
+    if bool(has_cycle):
+        prev2 = _cycle_fix(prev_link)
+        ptr, dist, _ = _label_stage(prev2)
+    else:
+        prev2 = prev_link
+    return _reduce_stage(
         node_hi, node_lo, node_count, n_nodes,
-        next_link, prev_link, s_idx, s_hit, k, canonical,
+        prev2, ptr, dist, s_idx, s_hit, k, canonical,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def _finish_stage(
-    node_hi, node_lo, node_count, n_nodes,
-    next_link, prev_link, s_idx, s_hit, k: int, canonical: bool,
-) -> ContigArrays:
-    """Stage C: cycle breaking, unitig labeling, per-contig reductions,
-    edges, rc pairing."""
-    C2 = node_hi.shape[0]
-    real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
+@jax.jit
+def _label_stage(prev_link):
+    """Pointer-doubling head/offset labeling with early exit.  Returns
+    (head pointer, offset, any-cycle flag).  For acyclic links the loop
+    exits once every pointer is a fixpoint; lanes on cycles never fix,
+    so the loop is capped at log2(C2) rounds and the flag (their root
+    still has a predecessor) is exact either way: a capped run has
+    advanced every chain lane to its true head (any chain fits in C2
+    doubling steps), so only cycle lanes can still see prev >= 0."""
+    C2 = prev_link.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
     n_rounds = max(C2.bit_length(), 1)
+    ptr0 = jnp.where(prev_link >= 0, prev_link, iota)
+    dist0 = jnp.where(prev_link >= 0, 1, 0)
 
-    # ---- 3. break isolated cycles at their min node ------------------
+    def cond(st):
+        r, _ptr, _dist, changed = st
+        return changed & (r < n_rounds)
+
+    def body(st):
+        r, ptr, dist, _ = st
+        nd = dist + dist[ptr]
+        np_ = ptr[ptr]
+        return r + 1, np_, nd, jnp.any(np_ != ptr)
+
+    _, ptr, dist, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ptr0, dist0, jnp.bool_(True))
+    )
+    has_cycle = jnp.any(prev_link[ptr] >= 0)
+    return ptr, dist, has_cycle
+
+
+@jax.jit
+def _cycle_fix(prev_link):
+    """Break isolated cycles at their min-index node: min-propagating
+    pointer doubling (full log2(C2) rounds — a cycle's min must travel
+    the whole cycle).  Returns the cut link array (cycle heads get
+    prev = -1).  Only runs when _label_stage reported a cycle."""
+    C2 = prev_link.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
+    n_rounds = max(C2.bit_length(), 1)
     ptr = jnp.where(prev_link >= 0, prev_link, iota)
     mn = iota
 
@@ -197,24 +240,20 @@ def _finish_stage(
     ptr, mn = jax.lax.fori_loop(0, n_rounds, cyc_body, (ptr, mn))
     is_cycle = prev_link[ptr] >= 0  # root still has a predecessor
     cycle_head = is_cycle & (mn == iota)
-    prev2 = jnp.where(cycle_head, -1, prev_link)
-    # a tail is a node whose next either doesn't exist or is a head
-    next_is_head = (next_link >= 0) & (
-        prev2[jnp.clip(next_link, 0, C2 - 1)] < 0
-    )
-    is_tail = real & ((next_link < 0) | next_is_head)
+    return jnp.where(cycle_head, -1, prev_link)
 
-    # ---- 4. head + offset labeling -----------------------------------
-    ptr = jnp.where(prev2 >= 0, prev2, iota)
-    dist = jnp.where(prev2 >= 0, 1, 0)
 
-    def lbl_body(_, st):
-        ptr, dist = st
-        dist = dist + dist[ptr]
-        return ptr[ptr], dist
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def _reduce_stage(
+    node_hi, node_lo, node_count, n_nodes,
+    prev2, head_ptr, dist, s_idx, s_hit, k: int, canonical: bool,
+) -> ContigArrays:
+    """Per-contig reductions, edges, rc pairing from the labeled nodes."""
+    C2 = node_hi.shape[0]
+    real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
 
-    ptr, dist = jax.lax.fori_loop(0, n_rounds, lbl_body, (ptr, dist))
-    head = ptr
+    head = head_ptr
     is_head = real & (prev2 < 0)
 
     # contig ids: rank of head lanes in lane order
@@ -395,14 +434,25 @@ def to_contig_graph(
     ]
     # patch klen-dependent uses: Contig.kmers may be empty, so NodeGraph
     # construction reads klen from the arrays via a parallel list
-    out_edges_arr = np.asarray(ca.out_edges[:, :n_contigs]).T  # [n, 4]
-    out_edges = [sorted({int(x) for x in row if x >= 0}) for row in out_edges_arr]
-    in_edges: list[list[int]] = [[] for _ in range(n_contigs)]
-    for u, row in enumerate(out_edges):
-        for v in row:
-            in_edges[v].append(u)
-    for row in in_edges:
-        row.sort()
+    from shannon_tpu.ops.tipclip import _adjacency_lists
+
+    out_e = np.asarray(ca.out_edges[:, :n_contigs])  # [4, n]
+    out_edges = _adjacency_lists(out_e, n_contigs)
+    # in-edges: same unique+split with src/dst swapped
+    mask = out_e >= 0
+    src = np.broadcast_to(
+        np.arange(n_contigs, dtype=np.int64), out_e.shape
+    )[mask]
+    dst = out_e[mask].astype(np.int64)
+    if len(dst):
+        pairs = np.unique(dst * n_contigs + src)
+        counts = np.bincount(pairs // n_contigs, minlength=n_contigs)
+        in_edges = [
+            seg.tolist()
+            for seg in np.split(pairs % n_contigs, np.cumsum(counts)[:-1])
+        ]
+    else:
+        in_edges = [[] for _ in range(n_contigs)]
 
     rc_pair = [int(x) for x in np.asarray(ca.rc_pair[:n_contigs])]
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from shannon_tpu.ops.count import Spectrum
 from shannon_tpu.ops.kmers import SENTINEL
-from shannon_tpu.ops.spectrum import neighbor_counts
+from shannon_tpu.ops.spectrum import sibling_maxes
 
 
 @jax.jit
@@ -42,7 +42,7 @@ def sibling_prune_round(
     """One jacobi round of sibling-ratio branch pruning (oracle step 2):
     prune x iff float32(count(x)) < ratio * float32(max sibling count)
     on either side."""
-    _, _, r_sib_max, l_sib_max = neighbor_counts(spec, k, canonical)
+    r_sib_max, l_sib_max = sibling_maxes(spec, k, canonical)
     c = spec.count.astype(jnp.float32)
     ratio = sibling_ratio.astype(jnp.float32)
     doomed = (c < ratio * r_sib_max.astype(jnp.float32)) | (

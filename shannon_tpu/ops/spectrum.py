@@ -152,6 +152,52 @@ def lookup_hilo(
 
 
 @partial(jax.jit, static_argnames=("k", "canonical"))
+def sibling_maxes(
+    spec: Spectrum, k: int, canonical: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Max counts of each entry's right-sibling group (prefix_{k-1}(x)·b)
+    and left-sibling group (b·suffix_{k-1}(x)) — the two outputs the
+    correction rounds actually consume.  Half the probe volume of
+    neighbor_counts (8 probes, not 16): the probe lookup is the round's
+    dominant cost at pipeline scale, so the unused extension probes were
+    pure waste (VERDICT r2 item 1b)."""
+    hi, lo = spec.hi, spec.lo
+    hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
+    lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
+    hs = 2 * (k - 1)
+    probes_h, probes_l = [], []
+    for b in range(4):
+        bb = jnp.uint32(b)
+        # right sibling: prefix·b = (v & ~3) | b
+        probes_h.append(hi)
+        probes_l.append((lo & ~jnp.uint32(3)) | bb)
+        # left sibling: b·suffix = (b << 2(k-1)) | (v & (mask >> 2))
+        sh = hi & (hi_mask >> 2) if 2 * k > 32 else hi
+        sl = lo if 2 * k > 32 else lo & (lo_mask >> 2)
+        if hs >= 32:
+            lsh = sh | (bb << (hs - 32))
+            lsl = sl
+        else:
+            lsh = sh
+            lsl = sl | (bb << hs)
+        probes_h.append(lsh)
+        probes_l.append(lsl)
+    ph = jnp.stack(probes_h, axis=0)  # [8, C]: (rsib, lsib) x 4
+    pl = jnp.stack(probes_l, axis=0)
+    if canonical:
+        ph, pl = canonical_hilo(ph, pl, k)
+    counts = lookup_counts(spec, ph, pl)  # [8, C]
+    right_sib_max = jnp.max(counts[0::2], axis=0)
+    left_sib_max = jnp.max(counts[1::2], axis=0)
+    pad = (hi == SENTINEL) & (lo == SENTINEL)
+    z = jnp.int32(0)
+    return (
+        jnp.where(pad, z, right_sib_max),
+        jnp.where(pad, z, left_sib_max),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
 def neighbor_counts(
     spec: Spectrum, k: int, canonical: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

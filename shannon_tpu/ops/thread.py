@@ -115,6 +115,139 @@ def thread_reads_device(
     return ev_cid, ev_run, n_events, run_p0, run_p1, run_o0, run_o1
 
 
+@partial(jax.jit, static_argnames=("w", "r"))
+def pack_thread_outputs(
+    ev_cid: jnp.ndarray,
+    ev_run: jnp.ndarray,
+    n_events: jnp.ndarray,
+    run_p0: jnp.ndarray,
+    run_p1: jnp.ndarray,
+    run_o0: jnp.ndarray,
+    run_o1: jnp.ndarray,
+    lengths: jnp.ndarray,
+    w: int,
+    r: int,
+) -> jnp.ndarray:
+    """Pack the threading outputs into ONE [N, w+2r+3 + (w+2r+1)//2]
+    int32 buffer for a single device->host transfer, trimmed to w event
+    and r run columns and with 16-bit fields bitcast-packed in pairs.
+
+    The tunnel to this TPU moves ~30 MB/s with ~100 ms per-transfer
+    latency (measured): the old 7-download/batch full-width handoff was
+    ~4s per 65k-read batch, ~95% of threading 'kernel' wall.  Trimmed +
+    packed it is one ~26 MB download.
+
+    Column layout (int32): ev_cid[w] | o0[r] | o1[r] | n_events |
+    length | n_runs | packed int16 pairs of (ev_run[w] | p0[r] | p1[r]),
+    zero-padded to an even int16 count.  Overflow (a read with more
+    than w events or r runs) is detected HOST-side from the n_events /
+    n_runs columns — no extra scalar sync — and the caller re-packs
+    that batch at full width."""
+    N, W = ev_cid.shape
+    R = run_p0.shape[1]
+    w = min(w, W)
+    r = min(r, R)
+    n_runs = (run_p0 != -1).sum(axis=1).astype(jnp.int32)
+    buf16 = jnp.concatenate(
+        [
+            ev_run[:, :w].astype(jnp.int16),
+            run_p0[:, :r].astype(jnp.int16),
+            run_p1[:, :r].astype(jnp.int16),
+        ],
+        axis=1,
+    )
+    if buf16.shape[1] % 2:
+        buf16 = jnp.pad(buf16, ((0, 0), (0, 1)))
+    pairs = jax.lax.bitcast_convert_type(
+        buf16.reshape(N, -1, 2), jnp.int32
+    )
+    return jnp.concatenate(
+        [
+            ev_cid[:, :w],
+            run_o0[:, :r],
+            run_o1[:, :r],
+            n_events[:, None].astype(jnp.int32),
+            lengths[:, None].astype(jnp.int32),
+            n_runs[:, None],
+            pairs,
+        ],
+        axis=1,
+    )
+
+
+def unpack_thread_buffer(
+    buf: np.ndarray, w: int, r: int
+) -> dict[str, np.ndarray]:
+    """Host-side split of pack_thread_outputs' buffer back into named
+    arrays (16-bit fields widened to int32)."""
+    buf = np.asarray(buf)
+    c = 0
+    out: dict[str, np.ndarray] = {}
+    out["ev_cid"] = buf[:, c : c + w]; c += w
+    out["run_o0"] = buf[:, c : c + r]; c += r
+    out["run_o1"] = buf[:, c : c + r]; c += r
+    out["n_events"] = buf[:, c]; c += 1
+    out["lengths"] = buf[:, c]; c += 1
+    out["n_runs"] = buf[:, c]; c += 1
+    halves = buf[:, c:].view(np.int16).reshape(len(buf), -1)
+    out["ev_run"] = halves[:, :w].astype(np.int32)
+    out["run_p0"] = halves[:, w : w + r].astype(np.int32)
+    out["run_p1"] = halves[:, w + r : w + 2 * r].astype(np.int32)
+    return out
+
+
+def runs_to_flat_paths(
+    ev_cid: np.ndarray,
+    ev_run: np.ndarray,
+    n_events: np.ndarray,
+    run_p0: np.ndarray,
+    run_p1: np.ndarray,
+    rc_pair: np.ndarray | None,
+    rescue: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized single-end evidence construction: device threading
+    rows -> flat path arrays (flat node ids, row offsets, unit weights),
+    with each path followed by its reverse-complement twin when rc_pair
+    is given — the array equivalent of paths_to_lists + expand_paths
+    for the unpaired mode (VERDICT r2 item 5: the per-row Python loop
+    was coverage-dependent and read-scale).  Emission order matches
+    expand_paths exactly: read-major, runs in read order, forward then
+    RC; duplicate paths merge downstream in NodeGraph._dedup_rows."""
+    N, w = ev_cid.shape
+    col = np.arange(w, dtype=np.int32)[None, :]
+    valid = col < n_events[:, None]
+    if not rescue:
+        windows = np.where(run_p0 != -1, run_p1 - run_p0, -1)
+        best = windows.argmax(axis=1).astype(np.int32)  # ties: earliest
+        valid &= ev_run == best[:, None]
+    if not valid.any():
+        z = np.empty(0, np.int64)
+        return z, np.zeros(1, np.int64), z
+    prev_run = np.empty_like(ev_run)
+    prev_run[:, 0] = -2
+    prev_run[:, 1:] = ev_run[:, :-1]
+    start2d = valid & ((col == 0) | (ev_run != prev_run))
+    flat = ev_cid[valid].astype(np.int64)
+    starts = start2d[valid]
+    path_id = np.cumsum(starts) - 1
+    lens = np.bincount(path_id).astype(np.int64)
+    n_paths = len(lens)
+    offs = np.zeros(n_paths + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if rc_pair is None:
+        return flat, offs, np.ones(n_paths, np.int64)
+    total = len(flat)
+    lens2 = np.repeat(lens, 2)
+    offs2 = np.zeros(2 * n_paths + 1, np.int64)
+    np.cumsum(lens2, out=offs2[1:])
+    out = np.empty(2 * total, np.int64)
+    within = np.arange(total, dtype=np.int64) - offs[path_id]
+    out[offs2[2 * path_id] + within] = flat
+    rev = flat[offs[path_id] + lens[path_id] - 1 - within]
+    out[offs2[2 * path_id + 1] + within] = np.asarray(rc_pair, np.int64)[rev]
+    return out, offs2, np.ones(2 * n_paths, np.int64)
+
+
 def paths_to_lists(
     ev_cid: np.ndarray,
     ev_run: np.ndarray,

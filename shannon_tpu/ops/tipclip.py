@@ -33,6 +33,24 @@ from shannon_tpu.ops.kmers import SENTINEL
 from shannon_tpu.ops.spectrum import lookup_hilo
 
 
+def _adjacency_lists(out_e: np.ndarray, n: int) -> list[list[int]]:
+    """[4, n] edge array -> per-contig sorted unique successor lists,
+    as one vectorized unique + split (the per-contig Python set loop
+    was 1.65s of host time at 315k contigs, measured)."""
+    mask = out_e >= 0
+    src = np.broadcast_to(np.arange(n, dtype=np.int64), out_e.shape)[mask]
+    dst = out_e[mask].astype(np.int64)
+    if len(src) == 0:
+        return [[] for _ in range(n)]
+    pairs = np.unique(src * n + dst)
+    psrc, pdst = pairs // n, pairs % n
+    counts = np.bincount(psrc, minlength=n)
+    return [
+        seg.tolist()
+        for seg in np.split(pdst, np.cumsum(counts)[:-1])
+    ]
+
+
 def _host_clip_rounds(
     klen: np.ndarray,
     csum: np.ndarray,
@@ -163,10 +181,7 @@ def clip_tips_spectrum(
         return spec
     klen = np.asarray(ca.klen[:n])
     csum = np.asarray(ca.count_sum[:n])
-    out_e = np.asarray(ca.out_edges[:, :n])  # [4, n]
-    out_adj = [
-        sorted({int(x) for x in out_e[:, c] if x >= 0}) for c in range(n)
-    ]
+    out_adj = _adjacency_lists(np.asarray(ca.out_edges[:, :n]), n)
     doomed = _host_clip_rounds(klen, csum, out_adj, config)
     if not doomed.any():
         return spec

@@ -118,6 +118,11 @@ def _spectrum_device(
         return spec
     spec = clip_tips_spectrum(spec, config, canonical=canonical)
     spec.hi.block_until_ready()
+    # tip clipping typically removes the majority of (error) k-mers:
+    # re-shrink so the downstream condensation runs at the clipped
+    # table's tight capacity, not the pre-clip one (measured 17.7s ->
+    # 5.3s for the post-clip condensation at 250k reads)
+    spec = shrink_spectrum(spec)
     if timer:
         timer.note(
             "spectrum+graph", tipclip_s=round(_time.perf_counter() - t2, 2)
@@ -154,31 +159,45 @@ def _graph_device(
     return g, int(spec.n), ca
 
 
+THREAD_TRIM_W = 32  # event columns transferred per read (fallback: full)
+THREAD_TRIM_R = 16  # run columns transferred per read
+
+
 def _thread_device(
     batch: ReadBatch,
     ca,
     cgraph,
     config: AssemblyConfig,
     timer: StageTimer | None = None,
-):
-    """Device read threading (hot loop #3) -> evidence (paths, weights).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device read threading (hot loop #3) -> flat evidence arrays
+    (flat node ids, row offsets, weights) for NodeGraph.set_paths_flat.
+
     Streams read batches (static shapes, compile-cache friendly) like
-    the counting driver, then DEDUPLICATES whole event rows (read
-    pairs in paired mode) before the per-row Python conversion — at
-    deep coverage most reads thread identically, so the host loop runs
-    over unique rows, not reads."""
+    the counting driver.  Each batch comes back as ONE packed, trimmed
+    transfer (ops/thread.pack_thread_outputs — the tunnel's ~100 ms
+    latency and ~30 MB/s made the old 7-download full-width handoff
+    ~95% of threading wall).  Single-end evidence is then built fully
+    vectorized (runs_to_flat_paths); the paired path row-dedups (pairs
+    as units) and runs the Python pair-joining over unique rows only."""
     import time as _time
 
     import jax.numpy as jnp
 
     from shannon_tpu.oracle.multibridge import expand_paths
-    from shannon_tpu.ops.thread import paths_to_lists, thread_reads_device
+    from shannon_tpu.oracle.nodegraph import _lists_to_flat
+    from shannon_tpu.ops.thread import (
+        pack_thread_outputs,
+        paths_to_lists,
+        runs_to_flat_paths,
+        thread_reads_device,
+        unpack_thread_buffer,
+    )
 
     t0 = _time.perf_counter()
     n = batch.n_reads
     bs = config.batch_reads
-    rows_parts: list[np.ndarray] = []
-    W = R = 0
+    parts: list[tuple[dict, int, int]] = []
     for s in range(0, n, bs):
         e = min(s + bs, n)
         codes = batch.codes[s:e]
@@ -190,63 +209,90 @@ def _thread_device(
                 padn = rows - (e - s)
                 codes = np.pad(codes, ((0, padn), (0, 0)), constant_values=4)
                 lengths = np.pad(lengths, (0, padn))
-        ev_cid, ev_run, n_events, r_p0, r_p1, r_o0, r_o1 = (
-            thread_reads_device(
-                jnp.asarray(codes), jnp.asarray(lengths), ca, config.k
-            )
+        lengths_j = jnp.asarray(lengths)
+        outs = thread_reads_device(
+            jnp.asarray(codes), lengths_j, ca, config.k
         )
-        ne = np.asarray(n_events, np.int32)
-        # trim to the columns actually used before the row dedup: the
-        # device outputs are [N, W≈105] / [N, R≈54] but real reads hit
-        # a handful of events/runs — np.unique over full-width rows was
-        # measured at ~24s per 250k reads, ~10x that of trimmed rows
-        w_used = max(int(ne.max(initial=0)), 1)
-        rp0 = np.asarray(r_p0, np.int32)
-        r_used = max(int((rp0 != -1).sum(axis=1).max(initial=0)), 1)
-        part = np.hstack(
+        W_full = codes.shape[1] - config.k + 1
+        R_full = (W_full + 1) // 2 + 1
+        w_eff = min(THREAD_TRIM_W, W_full)
+        r_eff = min(THREAD_TRIM_R, R_full)
+        buf = pack_thread_outputs(*outs, lengths_j, w=w_eff, r=r_eff)
+        d = unpack_thread_buffer(np.asarray(buf), w_eff, r_eff)
+        if (w_eff < W_full and d["n_events"].max(initial=0) > w_eff) or (
+            r_eff < R_full and d["n_runs"].max(initial=0) > r_eff
+        ):
+            # rare wide read: re-transfer this batch at full width
+            buf = pack_thread_outputs(*outs, lengths_j, w=W_full, r=R_full)
+            d = unpack_thread_buffer(np.asarray(buf), W_full, R_full)
+            w_eff, r_eff = W_full, R_full
+        parts.append(
+            ({k: v[: e - s] for k, v in d.items()}, w_eff, r_eff)
+        )
+    empty = (np.empty(0, np.int64), np.zeros(1, np.int64), np.empty(0, np.int64))
+    if not parts:
+        return empty
+    t1 = _time.perf_counter()
+
+    if not (batch.paired and config.use_pairs):
+        # ---- single-end: fully vectorized per part, then concatenate
+        rc = (
+            None
+            if config.strand_specific
+            else np.asarray(cgraph.rc_pair, np.int64)
+        )
+        flats, weights_l = [], []
+        offs_l: list[np.ndarray] = []
+        base = 0
+        for d, _w, _r in parts:
+            fl, of, wt = runs_to_flat_paths(
+                d["ev_cid"], d["ev_run"], d["n_events"],
+                d["run_p0"], d["run_p1"], rc, rescue=config.rescue_reads,
+            )
+            flats.append(fl)
+            offs_l.append(of[1:] + base)
+            weights_l.append(wt)
+            base += of[-1]
+        flat = np.concatenate(flats)
+        offs = np.concatenate([np.zeros(1, np.int64), *offs_l])
+        weights = np.concatenate(weights_l)
+        if timer:
+            timer.note(
+                "threading",
+                kernel_s=round(t1 - t0, 2),
+                build_s=round(_time.perf_counter() - t1, 2),
+                n_evidence_paths=len(weights),
+            )
+        return flat, offs, weights
+
+    # ---- paired: row-dedup (pairs as units), then Python pair joining
+    W = max(w for _p, w, _r in parts)
+    R = max(r for _p, _w, r in parts)
+
+    def _as_rows(d: dict, w: int, r: int) -> np.ndarray:
+        def wide(a: np.ndarray, width: int, target: int) -> np.ndarray:
+            if target > width:
+                return np.pad(
+                    a, ((0, 0), (0, target - width)), constant_values=-1
+                )
+            return a
+
+        return np.hstack(
             [
-                np.asarray(ev_cid, np.int32)[:, :w_used],
-                np.asarray(ev_run, np.int32)[:, :w_used],
-                ne[:, None],
-                rp0[:, :r_used],
-                np.asarray(r_p1, np.int32)[:, :r_used],
-                np.asarray(r_o0, np.int32)[:, :r_used],
-                np.asarray(r_o1, np.int32)[:, :r_used],
-                np.asarray(lengths, np.int32)[:, None],
+                wide(d["ev_cid"], w, W),
+                wide(d["ev_run"], w, W),
+                d["n_events"][:, None],
+                wide(d["run_p0"], r, R),
+                wide(d["run_p1"], r, R),
+                wide(d["run_o0"], r, R),
+                wide(d["run_o1"], r, R),
+                d["lengths"][:, None],
             ]
         )
-        rows_parts.append((part[: e - s], w_used, r_used))
-    if not rows_parts:
-        return expand_paths([], cgraph, config, paired=batch.paired)
-    t1 = _time.perf_counter()
-    W = max(w for _p, w, _r in rows_parts)
-    R = max(r for _p, _w, r in rows_parts)
 
-    def _widen(p: np.ndarray, w: int, r: int) -> np.ndarray:
-        if w == W and r == R:
-            return p
-        n_rows = p.shape[0]
-        blocks = []
-        c = 0
-        for width, target, fill in (
-            (w, W, -1), (w, W, -1), (1, 1, 0),
-            (r, R, -1), (r, R, -1), (r, R, -1), (r, R, -1), (1, 1, 0),
-        ):
-            blk = p[:, c : c + width]
-            if target > width:
-                blk = np.pad(
-                    blk, ((0, 0), (0, target - width)), constant_values=fill
-                )
-            blocks.append(blk)
-            c += width
-        return np.hstack(blocks)
-
-    rows_all = np.vstack([_widen(p, w, r) for p, w, r in rows_parts])
+    rows_all = np.vstack([_as_rows(d, w, r) for d, w, r in parts])
     ncol = rows_all.shape[1]
-    # pairs dedup as units so mate weights stay aligned
-    group = 2 if (batch.paired and config.use_pairs) else 1
-    if group == 2 and rows_all.shape[0] % 2:
-        group = 1  # ragged trailing mate: keep per-read rows
+    group = 2 if rows_all.shape[0] % 2 == 0 else 1
     grouped = rows_all.reshape(-1, group * ncol)
     uniq, first, counts = np.unique(
         grouped, axis=0, return_index=True, return_counts=True
@@ -265,13 +311,14 @@ def _thread_device(
         urows[:, c + 3 * R : c + 4 * R],  # run_o1
         rescue=config.rescue_reads,
     )
-    weights = np.repeat(counts, group).astype(int).tolist()
+    pw = np.repeat(counts, group).astype(int).tolist()
     read_lengths = urows[:, c + 4 * R].astype(int).tolist()
     t2 = _time.perf_counter()
-    out = expand_paths(
-        raw, cgraph, config, paired=batch.paired, weights=weights,
+    paths, path_weights = expand_paths(
+        raw, cgraph, config, paired=batch.paired, weights=pw,
         read_lengths=read_lengths,
     )
+    flat, offs = _lists_to_flat(paths)
     if timer:
         timer.note(
             "threading",
@@ -280,7 +327,7 @@ def _thread_device(
             expand_s=round(_time.perf_counter() - t2, 2),
             unique_rows=len(urows),
         )
-    return out
+    return flat, offs, np.asarray(path_weights, np.int64)
 
 
 def _spectrum_oracle(reads: list[str], config: AssemblyConfig) -> dict[int, int]:
@@ -352,7 +399,7 @@ def assemble(
         with timer.stage("partition"):
             comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
-            paths, path_weights = _thread_device(batch, ca, cgraph, config, timer=timer)
+            evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -370,7 +417,11 @@ def assemble(
         raise ValueError(f"unknown backend {backend!r}")
 
     with timer.stage("assembly"):
-        g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
+        if backend == "device":
+            g = NodeGraph.from_contig_graph(cgraph)
+            g.set_paths_flat(*evidence)
+        else:
+            g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
         if backend == "device":
             # bucket-scheduled per-component back-half (the GNU-parallel
             # replacement; identical output to the whole-graph oracle path)
@@ -596,7 +647,7 @@ def run_pipeline(
 
                 comps = device_components(ca)
             with timer.stage("threading"):
-                paths, path_weights = _thread_device(batch, ca, cgraph, config, timer=timer)
+                evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
         else:
             with timer.stage("graph"):
                 if alive is None:
@@ -611,7 +662,11 @@ def run_pipeline(
                     read_codes, cgraph, config, paired=batch.paired
                 )
         with timer.stage("assembly"):
-            g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
+            if backend == "device":
+                g = NodeGraph.from_contig_graph(cgraph)
+                g.set_paths_flat(*evidence)
+            else:
+                g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
             if backend == "device":
                 from shannon_tpu.parallel.components import (
                     assemble_components,

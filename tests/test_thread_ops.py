@@ -127,3 +127,56 @@ def test_threading_no_hits(rng):
         jnp.asarray(alien.codes), jnp.asarray(alien.lengths), ca, cfg.k
     )
     assert paths_to_lists(*outs) == [[], [], [], []]
+
+
+@pytest.mark.parametrize("rescue", [True, False])
+@pytest.mark.parametrize("strand_specific", [False, True])
+def test_runs_to_flat_paths_matches_list_path(rng, rescue, strand_specific):
+    """The vectorized single-end evidence builder must emit exactly the
+    per-run paths + RC twins the list path (paths_to_lists +
+    expand_paths) emits, in the same order."""
+    from shannon_tpu.ops.thread import (
+        pack_thread_outputs,
+        runs_to_flat_paths,
+        unpack_thread_buffer,
+    )
+
+    cfg = AssemblyConfig(rescue_reads=rescue, strand_specific=strand_specific)
+    ts = simulate_transcripts(rng, n=3, length=300) + simulate_isoforms(
+        rng, exon_length=120
+    )
+    reads = sample_reads(rng, ts, coverage=6.0, read_length=60,
+                         error_rate=0.02)
+    b, ca, dev_graph, _ = _both_graphs(reads, cfg)
+    outs = thread_reads_device(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), ca, cfg.k
+    )
+    # list path
+    raw = paths_to_lists(*outs, rescue=cfg.rescue_reads)
+    want_paths, want_w = expand_paths(
+        raw, dev_graph, cfg, read_lengths=[int(x) for x in b.lengths]
+    )
+    # vectorized path (through the packed transfer, trimmed)
+    W_full = b.codes.shape[1] - cfg.k + 1
+    R_full = (W_full + 1) // 2 + 1
+    w, r = min(8, W_full), min(4, R_full)
+    buf = np.asarray(
+        pack_thread_outputs(*outs, jnp.asarray(b.lengths), w=w, r=r)
+    )
+    d = unpack_thread_buffer(buf, min(w, W_full), min(r, R_full))
+    if (d["n_events"].max(initial=0) > w) or (d["n_runs"].max(initial=0) > r):
+        buf = np.asarray(
+            pack_thread_outputs(*outs, jnp.asarray(b.lengths), w=W_full,
+                                r=R_full)
+        )
+        d = unpack_thread_buffer(buf, W_full, R_full)
+    rc = None if strand_specific else np.asarray(dev_graph.rc_pair, np.int64)
+    flat, offs, weights = runs_to_flat_paths(
+        d["ev_cid"], d["ev_run"], d["n_events"], d["run_p0"], d["run_p1"],
+        rc, rescue=cfg.rescue_reads,
+    )
+    got_paths = [
+        flat[offs[i] : offs[i + 1]].tolist() for i in range(len(offs) - 1)
+    ]
+    assert got_paths == want_paths
+    assert weights.tolist() == want_w

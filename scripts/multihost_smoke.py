@@ -1,0 +1,213 @@
+"""2-process `jax.distributed` smoke test (CPU backend) — VERDICT r2
+item 3 / SURVEY.md §8 M5, BASELINE row 3.
+
+Proves the multi-process branch actually executes end-to-end:
+
+  * `init_distributed` runs `jax.distributed.initialize` in each of two
+    localhost processes (coordinator env vars);
+  * each process byte-range-ingests ITS half of one FASTA
+    (`host_byte_range` + `native.pack_file_range` — a record belongs to
+    the range holding its header byte, so every read lands on exactly
+    one process);
+  * the sharded count (`count_spectrum_sharded`, hash all_to_all +
+    merge) runs over the 2-process global mesh;
+  * both processes assert the replicated merged spectrum equals the
+    single-process oracle spectrum of the whole file.
+
+Parent mode (no args): simulates the dataset, launches the pair,
+collects results, writes MULTIHOST_SMOKE.json at the repo root.
+Child mode: SMOKE_ROLE=child + coordinator env (set by the parent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+K = 24
+PAD = 64  # explicit pad: multi-host ingest requires pinned shapes
+
+
+def child() -> None:
+    from shannon_tpu.parallel.multihost import host_byte_range, init_distributed
+
+    ok = init_distributed()
+    import jax
+
+    assert ok, "init_distributed did not go multi-process"
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == 2, jax.process_count()
+    pid = jax.process_index()
+
+    from shannon_tpu.native import pack_file_range
+    from shannon_tpu.parallel.distributed import count_spectrum_sharded
+    from shannon_tpu.parallel.mesh import READS_AXIS, make_mesh
+
+    fasta = os.environ["SMOKE_FASTA"]
+    lo, hi = host_byte_range(fasta)
+    batch = pack_file_range(fasta, lo, hi, pad_length=PAD)
+    n_local = batch.n_reads
+
+    # equalize per-host rows for uniform shards (pad rows have no windows)
+    counts = multihost_utils.process_allgather(np.array([n_local]))
+    n_max = int(counts.max())
+    codes = np.pad(
+        batch.codes, ((0, n_max - n_local), (0, 0)), constant_values=4
+    )
+    lengths = np.pad(batch.lengths, (0, n_max - n_local)).astype(np.int32)
+
+    mesh = make_mesh()
+    gcodes = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(READS_AXIS, None)), codes
+    )
+    glengths = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(READS_AXIS)), lengths
+    )
+    spec, ovf = count_spectrum_sharded(
+        gcodes, glengths, K, capacity=1 << 15, mesh=mesh
+    )
+    assert not bool(ovf), "sharded count overflowed"
+
+    n = int(spec.n)
+    hi_a = np.asarray(spec.hi)[:n].astype(np.uint64)
+    lo_a = np.asarray(spec.lo)[:n].astype(np.uint64)
+    keys = (hi_a << np.uint64(32)) | lo_a
+    cnts = np.asarray(spec.count)[:n]
+
+    exp = np.load(os.environ["SMOKE_EXPECTED"])
+    assert np.array_equal(keys, exp["kmers"]), (
+        f"proc {pid}: merged spectrum keys != single-process oracle "
+        f"({n} vs {len(exp['kmers'])})"
+    )
+    assert np.array_equal(cnts, exp["counts"]), f"proc {pid}: counts differ"
+
+    Path(os.environ["SMOKE_OUT"], f"ok{pid}.json").write_text(
+        json.dumps(
+            {
+                "process": pid,
+                "n_processes": jax.process_count(),
+                "local_reads": int(n_local),
+                "byte_range": [int(lo), int(hi)],
+                "n_kmers": n,
+            }
+        )
+    )
+    print(f"child {pid}: OK ({n_local} local reads, {n} kmers)", flush=True)
+
+
+def parent() -> None:
+    from shannon_tpu.io.fastx import write_fasta
+    from shannon_tpu.oracle.counting import count_kmers
+    from shannon_tpu.sim import sample_reads, simulate_transcripts
+
+    work = Path("/tmp/multihost_smoke")
+    work.mkdir(exist_ok=True)
+    for stale in work.glob("ok*.json"):
+        stale.unlink()
+    rng = np.random.default_rng(5)
+    ts = simulate_transcripts(rng, n=20, length=600)
+    reads = sample_reads(rng, ts, coverage=8.0, read_length=60,
+                         error_rate=0.01)
+    fasta = work / "reads.fasta"
+    write_fasta(fasta, [(f"r{i}", s) for i, s in enumerate(reads)])
+
+    counts = count_kmers(reads, K, strand_specific=False)
+    keys = np.fromiter(counts.keys(), np.uint64, len(counts))
+    vals = np.fromiter(counts.values(), np.int64, len(counts)).astype(
+        np.int32
+    )
+    order = np.argsort(keys)
+    expected = work / "expected.npz"
+    np.savez(expected, kmers=keys[order], counts=vals[order])
+
+    with socket.socket() as s:  # free localhost port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    # Children run CPU-only: strip site hooks that register other
+    # backends in every interpreter (e.g. a TPU-tunnel sitecustomize on
+    # PYTHONPATH breaks jax.distributed on the CPU backend).
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
+    }
+    env_base = {
+        **env_base,
+        "SMOKE_ROLE": "child",
+        "SMOKE_FASTA": str(fasta),
+        "SMOKE_EXPECTED": str(expected),
+        "SMOKE_OUT": str(work),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "PYTHONPATH": str(REPO),
+    }
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__],
+            env={**env_base, "JAX_PROCESS_ID": str(i)},
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    ok = all(p.returncode == 0 for p in procs)
+    markers = []
+    for i in range(2):
+        mp = work / f"ok{i}.json"
+        if mp.exists():
+            markers.append(json.loads(mp.read_text()))
+    ok = ok and len(markers) == 2
+    result = {
+        "ok": ok,
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "n_reads": len(reads),
+        "n_kmers": int(len(keys)),
+        "backend": "cpu (2 localhost processes, jax.distributed)",
+        "processes": markers,
+        "what": (
+            "jax.distributed.initialize x2 -> per-process byte-range "
+            "FASTA ingest (native pack_file_range) -> sharded count "
+            "(hash all_to_all) over the 2-process global mesh -> "
+            "replicated merged spectrum == single-process oracle"
+        ),
+    }
+    out_path = Path(os.environ.get("SMOKE_RESULT", REPO / "MULTIHOST_SMOKE.json"))
+    out_path.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2))
+    if not ok:
+        for i, out in enumerate(outs):
+            print(f"--- child {i} output ---\n{out}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    if os.environ.get("SMOKE_ROLE") == "child":
+        child()
+    else:
+        parent()

@@ -17,12 +17,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalars, NOT jnp: a module-level jnp scalar initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-process launches (it must run before any backend query); inside
+# jit a numpy scalar is the same uint32 constant
+SENTINEL = np.uint32(0xFFFFFFFF)
 
-_M2 = jnp.uint32(0x33333333)
-_M4 = jnp.uint32(0x0F0F0F0F)
-_M8 = jnp.uint32(0x00FF00FF)
+_M2 = np.uint32(0x33333333)
+_M4 = np.uint32(0x0F0F0F0F)
+_M8 = np.uint32(0x00FF00FF)
 
 
 def _rev2_32(x: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,10 @@ def batched_greedy(
     max_steps: int = 2 * MAXD,
 ) -> jnp.ndarray:
     """Flow tensors F [B, M, N] of the greedy max-min decomposition."""
+    return _greedy_core(a, b, seeds, use_hash, max_steps)
+
+
+def _greedy_core(a, b, seeds, use_hash, max_steps: int) -> jnp.ndarray:
     B, M = a.shape
     N = b.shape[1]
     eps = jnp.float32(1e-6) * jnp.maximum(
@@ -80,6 +84,62 @@ def batched_greedy(
     return F
 
 
+@partial(jax.jit, static_argnames=("k_restarts", "max_steps"))
+def batched_greedy_packed(
+    buf: jnp.ndarray,  # [B, 2*MAXD+1] int32: bitcast a | bitcast b | seed
+    k_restarts: int,
+    max_steps: int = 2 * MAXD,
+) -> jnp.ndarray:
+    """One-upload / one-download batched solve: expand each job to
+    k_restarts+1 seeded greedy runs ON DEVICE, then select the best
+    restart ON DEVICE with the oracle's exact key (pairing count, then
+    uint64 support bitmask at stride MAXD, then earliest restart).
+    Returns the winning flow tensors [B, MAXD, MAXD].
+
+    Replaces the 4-upload + full-[B*K] download transport: the tunnel
+    to this TPU charges ~100 ms latency per transfer (measured 11.4s of
+    uploads + 2.4s of downloads across one 250k-read assembly's 29
+    solver calls)."""
+    B = buf.shape[0]
+    K = k_restarts + 1
+    a1 = jax.lax.bitcast_convert_type(buf[:, :MAXD], jnp.float32)
+    b1 = jax.lax.bitcast_convert_type(buf[:, MAXD : 2 * MAXD], jnp.float32)
+    node_seed = buf[:, 2 * MAXD].astype(jnp.uint32)
+    a = jnp.repeat(a1, K, axis=0)  # [B*K, MAXD]
+    b = jnp.repeat(b1, K, axis=0)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (B, K), 1).reshape(-1)
+    seeds = jnp.where(r > 0, jnp.repeat(node_seed, K) + r, 0)
+    use_hash = r > 0
+    F = _greedy_core(a, b, seeds, use_hash, max_steps)  # [B*K, M, N]
+
+    # restart selection (oracle _best_of_restarts key, vectorized)
+    nz = F > 0
+    counts = nz.sum(axis=(1, 2)).reshape(B, K)
+    cell = (
+        jax.lax.broadcasted_iota(jnp.uint32, (MAXD, MAXD), 0) * MAXD
+        + jax.lax.broadcasted_iota(jnp.uint32, (MAXD, MAXD), 1)
+    )
+    one = jnp.uint32(1)
+    lo_bit = jnp.where(cell < 32, one << cell, 0)
+    hi_bit = jnp.where(cell >= 32, one << (cell - 32), 0)
+    lo_mask = jnp.where(nz, lo_bit[None], 0).sum(
+        axis=(1, 2), dtype=jnp.uint32
+    ).reshape(B, K)
+    hi_mask = jnp.where(nz, hi_bit[None], 0).sum(
+        axis=(1, 2), dtype=jnp.uint32
+    ).reshape(B, K)
+    cand = counts == counts.min(axis=1, keepdims=True)
+    FULL = jnp.uint32(0xFFFFFFFF)
+    hi_m = jnp.where(cand, hi_mask, FULL)
+    cand &= hi_m == hi_m.min(axis=1, keepdims=True)
+    lo_m = jnp.where(cand, lo_mask, FULL)
+    cand &= lo_m == lo_m.min(axis=1, keepdims=True)
+    best_r = jnp.argmax(cand, axis=1).astype(jnp.int32)  # first True
+    return F.reshape(B, K, MAXD, MAXD)[
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0], best_r
+    ]
+
+
 def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, list]:
     """Batched device solver for all X-nodes in xs; mirrors oracle
     solve_node exactly (same block plan, margins, seeds,
@@ -111,52 +171,30 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
     # per bucket, and every distinct shape is a fresh XLA compile —
     # measured 36s of recompiles in one 100k-read assembly vs 4s of
     # actual solving.  Zero-margin pad rows solve to all-zero flows.
+    # ONE packed upload (margins bitcast to int32 + per-job seed) and
+    # ONE [B, MAXD, MAXD] download; restart expansion AND selection run
+    # on device (batched_greedy_packed) — the tunnel's ~100 ms/transfer
+    # latency made the old 4-upload/full-download transport the
+    # dominant SF cost (measured).
     B_pad = max(64, 1 << (B - 1).bit_length())
-    a_pad = np.zeros((B_pad * K, MAXD), np.float32)
-    b_pad = np.zeros((B_pad * K, MAXD), np.float32)
-    seeds = np.zeros(B_pad * K, np.uint32)
-    use_hash = np.zeros(B_pad * K, bool)
+    buf = np.zeros((B_pad, 2 * MAXD + 1), np.int32)
+    fbuf = buf[:, : 2 * MAXD].view(np.float32)
+    sbuf = buf[:, 2 * MAXD :].view(np.uint32)
     for bi, (v, ins, outs, brows, bcols, ab, bb, s, node_seed) in enumerate(
         jobs
     ):
-        for r in range(K):
-            row = bi * K + r
-            a_pad[row, : len(ab)] = ab
-            b_pad[row, : len(bb)] = bb
-            if r > 0:
-                seeds[row] = np.uint32((node_seed + r) & 0xFFFFFFFF)
-                use_hash[row] = True
+        fbuf[bi, : len(ab)] = ab
+        fbuf[bi, MAXD : MAXD + len(bb)] = bb
+        sbuf[bi, 0] = np.uint32(node_seed & 0xFFFFFFFF)
     F = np.asarray(
-        batched_greedy(
-            jnp.asarray(a_pad), jnp.asarray(b_pad),
-            jnp.asarray(seeds), jnp.asarray(use_hash),
-        )
-    )  # [B*K, MAXD, MAXD]
-
-    # vectorized restart selection: key = (pairing count, support
-    # bitmask at stride MAXD — identical to the host key); earliest
-    # restart among equal keys wins, matching oracle _best_of_restarts
-    nz = F[: B * K] > 0  # [B*K, MAXD, MAXD]
-    counts = nz.sum(axis=(1, 2)).reshape(B, K)
-    bit = (
-        np.uint64(1)
-        << (
-            np.arange(MAXD, dtype=np.uint64)[:, None] * np.uint64(MAXD)
-            + np.arange(MAXD, dtype=np.uint64)[None, :]
-        )
-    )
-    masks = (nz * bit).sum(axis=(1, 2), dtype=np.uint64).reshape(B, K)
-    cmin = counts.min(axis=1, keepdims=True)
-    cand = counts == cmin
-    m_masked = np.where(cand, masks, np.uint64(0xFFFFFFFFFFFFFFFF))
-    mmin = m_masked.min(axis=1, keepdims=True)
-    best_r = (cand & (m_masked == mmin)).argmax(axis=1)  # first True
+        batched_greedy_packed(jnp.asarray(buf), k_restarts=R)
+    )  # [B_pad, MAXD, MAXD] — winning restart per job
 
     for bi, (v, ins, outs, brows, bcols, ab, bb, s, node_seed) in enumerate(
         jobs
     ):
         M, N = len(ab), len(bb)
-        best_F = F[bi * K + best_r[bi], :M, :N]
+        best_F = F[bi, :M, :N]
         thresh = np.float32(config.sf_min_flow_frac) * np.float32(s)
         result[v].extend(
             (ins[brows[i]], outs[bcols[j]], float(best_F[i, j]))

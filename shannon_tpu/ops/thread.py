@@ -189,7 +189,11 @@ def unpack_thread_buffer(
     out["n_events"] = buf[:, c]; c += 1
     out["lengths"] = buf[:, c]; c += 1
     out["n_runs"] = buf[:, c]; c += 1
-    halves = buf[:, c:].view(np.int16).reshape(len(buf), -1)
+    # ascontiguousarray: arrays fetched from the TPU runtime can carry
+    # a layout whose int16 view numpy rejects
+    halves = (
+        np.ascontiguousarray(buf[:, c:]).view(np.int16).reshape(len(buf), -1)
+    )
     out["ev_run"] = halves[:, :w].astype(np.int32)
     out["run_p0"] = halves[:, w : w + r].astype(np.int32)
     out["run_p1"] = halves[:, w + r : w + 2 * r].astype(np.int32)

@@ -16,20 +16,37 @@ import os
 
 def init_distributed() -> bool:
     """Initialize jax.distributed if a coordinator is configured.
-    Returns True when running multi-process."""
+    Returns True when running multi-process.
+
+    Order matters: `jax.distributed.initialize` must run BEFORE the
+    first backend query (`jax.process_count()` initializes the backend),
+    so the coordinator env is checked first.  Idempotent: a second call
+    in an already-initialized process is a no-op.  Exercised by
+    scripts/multihost_smoke.py (2-process CPU launch) and its pytest."""
     import jax
 
-    if jax.process_count() > 1:
-        return True
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
+    if addr and not _distributed_initialized():
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            # CPU multi-process collectives need gloo (TPU uses ICI/DCN)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
-        return jax.process_count() > 1
-    return False
+    return jax.process_count() > 1
+
+
+def _distributed_initialized() -> bool:
+    import jax
+
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        return bool(is_init())
+    from jax._src import distributed  # jax without the public probe
+
+    return distributed.global_state.client is not None
 
 
 def host_byte_range(path: str | os.PathLike) -> tuple[int, int]:

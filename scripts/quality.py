@@ -1,12 +1,15 @@
-"""Regenerate the committed quality artifact (QUALITY.md + quality.json).
+"""Regenerate the committed quality artifacts (QUALITY.md + quality.json).
 
-Pinned midscale simulation (seed 1234: 100 log-normal-abundance
-transcripts x 1500bp, 20x mean coverage, 100bp reads, 1% error) ->
-assemble (device backend; runs on CPU or TPU) -> eval.evaluate recall/
-precision -> artifact.  Tracked per round so quality regressions are
-visible in review (VERDICT r1 item 8 / 'Committed quality evidence').
+Three regenerable sections, each one command (any backend, CPU or TPU —
+output is backend-independent by the parity contract):
 
-    PYTHONPATH=. python scripts/quality.py [--backend device|oracle]
+  PYTHONPATH=. python scripts/quality.py                    # pinned midscale
+  PYTHONPATH=. python scripts/quality.py --paired-bridging  # pairs on/off
+  PYTHONPATH=. python scripts/quality.py --sweep            # sensitivity
+
+quality.json accumulates the sections; QUALITY.md is re-rendered from
+all sections present.  Tracked per round so quality regressions are
+visible in review (VERDICT r1 item 8; r2 items 4 + 8).
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ import argparse
 import json
 import sys
 import time
+from dataclasses import replace
 from pathlib import Path
 
 import numpy as np
@@ -29,46 +33,53 @@ COVERAGE = 20.0
 READ_LEN = 100
 ERROR_RATE = 0.01
 
+# --paired-bridging: repeats longer than a read, shorter than the insert
+PB_SEED = 4321
+PB_N_PAIRS = 10
+PB_REPEAT = 180
+PB_FLANK = 400
+PB_INSERT = 300
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default="device",
-                    choices=["device", "oracle"])
-    ap.add_argument("--paired", action="store_true",
-                    help="paired-end variant (insert 300)")
-    args = ap.parse_args()
+SWEEP_COVERAGES = (5.0, 10.0, 20.0)
+SWEEP_CUTOFFS = (0.0, 1.0, 1.5)  # 1.0 = default (re-chosen from this sweep)
 
-    from shannon_tpu.config import AssemblyConfig
-    from shannon_tpu.eval import evaluate
-    from shannon_tpu.pipeline import assemble
-    from shannon_tpu.sim import (
-        sample_paired_reads,
-        sample_reads,
-        simulate_transcripts,
-    )
+
+def _load() -> dict:
+    p = REPO / "quality.json"
+    if p.exists():
+        data = json.loads(p.read_text())
+        if "pinned" in data or "paired_bridging" in data or "sweep" in data:
+            return data
+        return {"pinned": data}  # pre-r3 single-section format
+    return {}
+
+
+def _pinned_dataset(coverage: float):
+    from shannon_tpu.sim import sample_reads, simulate_transcripts
 
     rng = np.random.default_rng(SEED)
     abund = np.exp(rng.normal(0, 1, N_TRANSCRIPTS))
     abund = (abund / abund.mean()).tolist()
     truth = simulate_transcripts(rng, n=N_TRANSCRIPTS, length=T_LEN)
-    if args.paired:
-        reads = sample_paired_reads(
-            rng, truth, abundances=abund, coverage=COVERAGE,
-            read_length=READ_LEN, insert_size=300, error_rate=ERROR_RATE,
-        )
-    else:
-        reads = sample_reads(
-            rng, truth, abundances=abund, coverage=COVERAGE,
-            read_length=READ_LEN, error_rate=ERROR_RATE,
-        )
+    reads = sample_reads(
+        rng, truth, abundances=abund, coverage=coverage,
+        read_length=READ_LEN, error_rate=ERROR_RATE,
+    )
+    return truth, reads
 
+
+def run_pinned(backend: str) -> dict:
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.eval import evaluate
+    from shannon_tpu.pipeline import assemble
+
+    truth, reads = _pinned_dataset(COVERAGE)
     cfg = AssemblyConfig(kmer_capacity=1 << 20)
     t0 = time.perf_counter()
-    res = assemble(reads, cfg, backend=args.backend, paired=args.paired)
+    res = assemble(reads, cfg, backend=backend)
     wall = time.perf_counter() - t0
     metrics = evaluate(truth, [t.seq for t in res.transcripts], k=cfg.k)
-
-    payload = {
+    return {
         "dataset": {
             "seed": SEED,
             "n_transcripts": N_TRANSCRIPTS,
@@ -77,48 +88,197 @@ def main() -> int:
             "read_length": READ_LEN,
             "error_rate": ERROR_RATE,
             "n_reads": len(reads),
-            "paired": args.paired,
             "abundances": "log-normal(0, 1), mean-normalized",
         },
-        "backend": args.backend,
+        "backend": backend,
         "wall_s": round(wall, 1),
         "metrics": metrics,
         "assembly_stats": res.stats,
     }
-    (REPO / "quality.json").write_text(json.dumps(payload, indent=2) + "\n")
 
-    md = f"""# Quality — pinned midscale simulation
 
-Regenerate with `PYTHONPATH=. python scripts/quality.py` (any backend,
-CPU or TPU — output is backend-independent by the parity contract).
+def run_paired_bridging(backend: str) -> dict:
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.eval import evaluate
+    from shannon_tpu.pipeline import assemble
+    from shannon_tpu.sim import sample_paired_reads, simulate_repeat_transcripts
 
-**Dataset (pinned):** seed {SEED}, {N_TRANSCRIPTS} random transcripts x
-{T_LEN}bp, log-normal abundances, {COVERAGE:.0f}x mean coverage,
-{READ_LEN}bp single-end reads, {ERROR_RATE:.0%} error rate ->
-{len(reads)} reads.
+    rng = np.random.default_rng(PB_SEED)
+    truth = simulate_repeat_transcripts(
+        rng, n_pairs=PB_N_PAIRS, repeat_length=PB_REPEAT,
+        flank_length=PB_FLANK,
+    )
+    reads = sample_paired_reads(
+        rng, truth, coverage=COVERAGE, read_length=READ_LEN,
+        insert_size=PB_INSERT, error_rate=ERROR_RATE,
+    )
+    cfg = AssemblyConfig(kmer_capacity=1 << 20)
+    out: dict = {
+        "dataset": {
+            "seed": PB_SEED,
+            "n_repeat_pairs": PB_N_PAIRS,
+            "repeat_length": PB_REPEAT,
+            "flank_length": PB_FLANK,
+            "insert_size": PB_INSERT,
+            "read_length": READ_LEN,
+            "coverage": COVERAGE,
+            "error_rate": ERROR_RATE,
+            "n_reads": len(reads),
+            "shape": "t_2i = A_i+R_i+B_i, t_2i+1 = C_i+R_i+D_i; "
+                     "equal abundance (SF flow-degenerate at each repeat)",
+        },
+        "backend": backend,
+    }
+    for use_pairs in (False, True):
+        t0 = time.perf_counter()
+        res = assemble(
+            reads, replace(cfg, use_pairs=use_pairs), backend=backend,
+            paired=True,
+        )
+        m = evaluate(truth, [t.seq for t in res.transcripts], k=cfg.k)
+        m["wall_s"] = round(time.perf_counter() - t0, 1)
+        out["pairs_on" if use_pairs else "pairs_off"] = m
+    return out
 
-**Metrics** (shannon_tpu.eval: exact = transcript recovered verbatim up
-to RC; partial = >=95% of its k-mers present; precision = assembled
-transcripts matching truth):
 
-| metric | value |
-|---|---|
-| recall (exact) | {metrics['recall_exact']:.1%} |
-| recall (exact + partial) | {metrics['recall_partial']:.1%} |
-| precision | {metrics['precision']:.1%} |
-| transcripts assembled | {metrics['n_assembled']} |
-| truth transcripts | {metrics['n_truth']} |
+def run_sweep(backend: str) -> dict:
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.eval import evaluate
+    from shannon_tpu.pipeline import assemble
 
-Assembly stats: {res.stats['n_kmers_final']} corrected k-mers,
-{res.stats['n_contigs']} contigs, {res.stats['n_components']}
-components, {res.stats['n_mb_splits']} MB splits,
-{res.stats['n_sf_splits']} SF splits.
+    rows = []
+    for cov in SWEEP_COVERAGES:
+        truth, reads = _pinned_dataset(cov)
+        # assemble once with cutoff 0; higher cutoffs are exactly the
+        # per-transcript output filter re-applied (dedupe_and_filter
+        # keeps the max-abundance representative per canonical key, so
+        # post-filtering the cutoff-0 output equals assembling at that
+        # cutoff — oracle/assemble.py dedupe_and_filter)
+        cfg = AssemblyConfig(kmer_capacity=1 << 20, min_output_abundance=0.0)
+        res = assemble(reads, cfg, backend=backend)
+        for cut in SWEEP_CUTOFFS:
+            seqs = [
+                t.seq for t in res.transcripts
+                if np.float32(t.abundance) >= np.float32(cut)
+            ]
+            m = evaluate(truth, seqs, k=cfg.k)
+            rows.append(
+                {"coverage": cov, "min_output_abundance": cut,
+                 "n_reads": len(reads), **m}
+            )
+            print(json.dumps(rows[-1]), flush=True)
+    return {"backend": backend, "rows": rows}
 
-*(backend: {args.backend}, wall {wall:.1f}s on this machine — timing is
-informational only; BENCH_r*.json carries the performance numbers)*
-"""
-    (REPO / "QUALITY.md").write_text(md)
-    print(json.dumps(metrics))
+
+def render(data: dict) -> str:
+    md = [
+        "# Quality — pinned midscale simulation",
+        "",
+        "Regenerate any section with one command (see header of"
+        " `scripts/quality.py`); output is backend-independent by the"
+        " parity contract.",
+        "",
+    ]
+    if "pinned" in data:
+        p = data["pinned"]
+        d, m = p["dataset"], p["metrics"]
+        s = p["assembly_stats"]
+        md += [
+            f"**Dataset (pinned):** seed {d['seed']}, "
+            f"{d['n_transcripts']} random transcripts x "
+            f"{d['transcript_length']}bp, log-normal abundances, "
+            f"{d['coverage_mean']:.0f}x mean coverage, "
+            f"{d['read_length']}bp single-end reads, "
+            f"{d['error_rate']:.0%} error rate -> {d['n_reads']} reads.",
+            "",
+            "**Metrics** (shannon_tpu.eval: exact = transcript recovered"
+            " verbatim up to RC; partial = >=95% of its k-mers present;"
+            " precision = assembled transcripts matching truth):",
+            "",
+            "| metric | value |",
+            "|---|---|",
+            f"| recall (exact) | {m['recall_exact']:.1%} |",
+            f"| recall (exact + partial) | {m['recall_partial']:.1%} |",
+            f"| precision | {m['precision']:.1%} |",
+            f"| transcripts assembled | {m['n_assembled']} |",
+            f"| truth transcripts | {m['n_truth']} |",
+            "",
+            f"Assembly stats: {s['n_kmers_final']} corrected k-mers, "
+            f"{s['n_contigs']} contigs, {s['n_components']} components, "
+            f"{s['n_mb_splits']} MB splits, {s['n_sf_splits']} SF splits.",
+            "",
+        ]
+    if "paired_bridging" in data:
+        p = data["paired_bridging"]
+        d = p["dataset"]
+        off, on = p["pairs_off"], p["pairs_on"]
+        md += [
+            "## Paired-end bridging (repeat-bearing dataset)",
+            "",
+            f"Seed {d['seed']}: {d['n_repeat_pairs']} transcript pairs, "
+            f"each pair sharing a distinct {d['repeat_length']}bp repeat "
+            f"(> {d['read_length']}bp read, < {d['insert_size']}bp "
+            f"insert) between {d['flank_length']}bp unique flanks; equal "
+            f"abundances make every repeat X-node flow-degenerate, so "
+            f"single reads cannot phase it — mates spanning the repeat "
+            f"can.  {d['n_reads']} paired reads at "
+            f"{d['coverage']:.0f}x, {d['error_rate']:.0%} error.",
+            "",
+            "| config | recall (exact) | recall (partial) | precision |",
+            "|---|---|---|---|",
+            f"| use_pairs=False | {off['recall_exact']:.1%} |"
+            f" {off['recall_partial']:.1%} | {off['precision']:.1%} |",
+            f"| use_pairs=True | {on['recall_exact']:.1%} |"
+            f" {on['recall_partial']:.1%} | {on['precision']:.1%} |",
+            "",
+        ]
+    if "sweep" in data:
+        md += [
+            "## Sensitivity: coverage x min_output_abundance",
+            "",
+            "Pinned dataset resampled at each coverage; one assembly per"
+            " coverage (cutoff 0), higher cutoffs re-apply the output"
+            " filter (exact — the cutoff is a pure per-transcript output"
+            " filter).",
+            "",
+            "| coverage | cutoff | recall (exact) | recall (partial) |"
+            " precision | assembled |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in data["sweep"]["rows"]:
+            md.append(
+                f"| {r['coverage']:.0f}x | {r['min_output_abundance']} |"
+                f" {r['recall_exact']:.1%} | {r['recall_partial']:.1%} |"
+                f" {r['precision']:.1%} | {r['n_assembled']} |"
+            )
+        md.append("")
+    md += [
+        "*(timings are informational only; BENCH_r*.json carries the"
+        " performance numbers)*",
+        "",
+    ]
+    return "\n".join(md)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="device",
+                    choices=["device", "oracle"])
+    ap.add_argument("--paired-bridging", action="store_true")
+    ap.add_argument("--sweep", action="store_true")
+    args = ap.parse_args()
+
+    data = _load()
+    if args.paired_bridging:
+        data["paired_bridging"] = run_paired_bridging(args.backend)
+        print(json.dumps(data["paired_bridging"], indent=2))
+    elif args.sweep:
+        data["sweep"] = run_sweep(args.backend)
+    else:
+        data["pinned"] = run_pinned(args.backend)
+        print(json.dumps(data["pinned"]["metrics"]))
+    (REPO / "quality.json").write_text(json.dumps(data, indent=2) + "\n")
+    (REPO / "QUALITY.md").write_text(render(data))
     return 0
 
 

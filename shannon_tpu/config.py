@@ -56,17 +56,39 @@ class AssemblyConfig:
     def tip_klen_effective(self) -> int:
         return 3 * self.k if self.tip_klen == 0 else self.tip_klen
 
+    error_branch_ratio: float = 0.5
+    """Stricter domination ratio for k-mer-scale branches: a bubble or
+    dead-end tip of <= k+2 member k-mers (the exact graph footprint of
+    one substitution error — a mid-read error makes a k-k-mer parallel
+    bubble, an end-of-read error a shorter tip) is pruned when its
+    abundance < error_branch_ratio * the competing branch's.  Longer
+    branches (alternative exons, real transcript ends) keep the lax
+    sibling_ratio, preserving low-expression isoforms — the lax ratio
+    alone leaks error branches wherever coverage < 1/sibling_ratio
+    (count-1 error vs count-4 sibling survives 0.1 but not 0.5,
+    measured: 1517 error-path transcripts on the 20x pinned quality
+    dataset).  0 disables (falls back to sibling_ratio everywhere)."""
+
+    @property
+    def error_klen_effective(self) -> int:
+        return self.k + 2
+
     # --- assembly ---------------------------------------------------------
     min_transcript_length: int = 200
     """Final transcripts shorter than this are dropped (reference
     filter_trans behavior, SURVEY.md §3.1; 200bp is the standard
     transcriptome threshold)."""
 
-    min_output_abundance: float = 1.5
+    min_output_abundance: float = 1.0
     """Final transcripts whose abundance estimate (min node abundance
     along the path) is below this are dropped: paths supported by a
     single read are error-island junk, not expression.  float32
-    comparison.  0 disables."""
+    comparison.  0 disables.  Default re-chosen with the QUALITY.md
+    sensitivity sweep: with error_branch_ratio cleaning single-error
+    branches, 1.0 keeps exact recall at 100% on the pinned 20x dataset
+    (86% precision) where 1.5 trades 5pp of recall for the last 14pp of
+    precision — the wrong trade for an assembler whose claim is
+    recovering every recoverable transcript (BASELINE north star)."""
 
     use_pairs: bool = True
     """Use paired-end mates + insert-size constraints in multibridging."""
@@ -168,6 +190,8 @@ class AssemblyConfig:
             raise ValueError("min_abundance must be >= 1")
         if not (0.0 <= self.sibling_ratio < 1.0):
             raise ValueError("sibling_ratio must be in [0, 1)")
+        if not (0.0 <= self.error_branch_ratio < 1.0):
+            raise ValueError("error_branch_ratio must be in [0, 1)")
 
     # --- (de)serialization for stage checkpoints -------------------------
     def to_json(self) -> str:

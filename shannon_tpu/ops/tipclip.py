@@ -65,6 +65,8 @@ def _host_clip_rounds(
     fixpoint or correction_rounds."""
     tip_klen = config.tip_klen_effective
     ratio = np.float32(config.sibling_ratio)
+    err_klen = config.error_klen_effective
+    err_ratio = np.float32(config.error_branch_ratio)
     min_len = config.min_transcript_length
     n = len(klen)
     members: dict[int, list[int]] = {i: [i] for i in range(n)}
@@ -79,6 +81,13 @@ def _host_clip_rounds(
 
     def ab(c: int) -> np.float32:
         return np.float32(cs[c]) / np.float32(kl[c])
+
+    def dom_ratio(c: int) -> np.float32:
+        # mirrors oracle clip_tips dom_ratio: single-error-footprint
+        # branches are held to the stricter error_branch_ratio
+        if err_ratio > 0.0 and kl[c] <= err_klen:
+            return err_ratio
+        return ratio
 
     for _ in range(config.correction_rounds):
         doomed: list[int] = []
@@ -98,7 +107,7 @@ def _host_clip_rounds(
                     for x in out[u]:
                         if x != c and x in inc[w]:
                             comp = max(comp, ab(x))
-                    if ab(c) < ratio * comp:
+                    if ab(c) < dom_ratio(c) * comp:
                         doomed.append(c)
                 continue
             comp = np.float32(0.0)
@@ -112,7 +121,7 @@ def _host_clip_rounds(
                     for e in out[d]:
                         if e != c:
                             comp = max(comp, ab(e))
-            if ab(c) < ratio * comp:
+            if ab(c) < dom_ratio(c) * comp:
                 doomed.append(c)
         if not doomed:
             break

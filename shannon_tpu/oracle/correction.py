@@ -112,6 +112,17 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
     tip_klen = config.tip_klen_effective
     if tip_klen < 0:
         return alive
+    err_klen = config.error_klen_effective
+    err_ratio = np.float32(config.error_branch_ratio)
+
+    def dom_ratio(n_kmers: int) -> np.float32:
+        # k-mer-scale branches (one substitution error's footprint) are
+        # held to the stricter error_branch_ratio; longer branches (real
+        # isoform structure) keep the lax sibling_ratio
+        if config.error_branch_ratio > 0.0 and n_kmers <= err_klen:
+            return err_ratio
+        return np.float32(config.sibling_ratio)
+
     alive = dict(alive)
     for _ in range(config.correction_rounds):
         g = build_contigs(alive, config)
@@ -135,8 +146,8 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                     for x in g.out_edges[u]:
                         if x != cid and x in g.in_edges[w]:
                             comp = max(comp, g.contigs[x].abundance)
-                    if np.float32(c.abundance) < np.float32(
-                        config.sibling_ratio
+                    if np.float32(c.abundance) < dom_ratio(
+                        len(c.kmers)
                     ) * np.float32(comp):
                         doomed.append(cid)
                 continue
@@ -153,8 +164,8 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                         if e != cid:
                             comp = max(comp, g.contigs[e].abundance)
             # float32 comparison — device compute precision (parity)
-            if np.float32(c.abundance) < np.float32(
-                config.sibling_ratio
+            if np.float32(c.abundance) < dom_ratio(
+                len(c.kmers)
             ) * np.float32(comp):
                 doomed.append(cid)
         if not doomed:

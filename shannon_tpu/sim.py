@@ -44,6 +44,29 @@ def simulate_isoforms(
     return [iso1, iso2]
 
 
+def simulate_repeat_transcripts(
+    rng: np.random.Generator,
+    n_pairs: int = 10,
+    repeat_length: int = 180,
+    flank_length: int = 400,
+) -> list[str]:
+    """Transcript pairs each sharing a distinct repeat longer than a
+    short read but shorter than a paired-end insert: for pair i with
+    repeat R_i, t_{2i} = A_i + R_i + B_i and t_{2i+1} = C_i + R_i + D_i
+    with unique flanks.  Single-end reads shorter than R_i cannot phase
+    the repeat's X-node (both 2-sparse pairings are flow-consistent at
+    equal abundance — SF must guess); mates spanning it can (SURVEY.md
+    §6 'long-context analog': insert-size bridging resolves repeats
+    longer than one read, shorter than the insert)."""
+    out: list[str] = []
+    for _ in range(n_pairs):
+        rep = random_seq(rng, repeat_length)
+        a, b, c, d = (random_seq(rng, flank_length) for _ in range(4))
+        out.append(a + rep + b)
+        out.append(c + rep + d)
+    return out
+
+
 def mutate(rng: np.random.Generator, seq: str, error_rate: float) -> str:
     if error_rate <= 0:
         return seq

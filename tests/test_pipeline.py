@@ -127,3 +127,36 @@ def test_cli_arg_errors(tmp_path, capsys):
         main(["-o", str(tmp_path), "--single", "a.fa", "--left", "b.fa",
               "--right", "c.fa"]) == 2
     )  # both modes
+
+
+def test_paired_ingest_routes_identical(rng, tmp_path):
+    """The two mate-2 normalization routes — in-memory interleaved
+    reads through normalize_mate2 + pack_reads, and left/right files
+    through run_pipeline's interleave — must produce identical packed
+    batches (VERDICT r2 weak #7)."""
+    from shannon_tpu.io.pack import pack_reads
+    from shannon_tpu.pipeline import normalize_mate2
+    from shannon_tpu.sim import sample_paired_reads
+
+    ts = simulate_transcripts(rng, n=2, length=400)
+    reads = sample_paired_reads(
+        rng, ts, coverage=8, read_length=70, error_rate=0.01
+    )
+    left = reads[0::2]
+    right = reads[1::2]
+    lf, rf = tmp_path / "l.fasta", tmp_path / "r.fasta"
+    write_fasta(lf, [(f"l{i}", s) for i, s in enumerate(left)])
+    write_fasta(rf, [(f"r{i}", s) for i, s in enumerate(right)])
+    cfg = AssemblyConfig(
+        k=21, kmer_capacity=1 << 15, out_dir=str(tmp_path / "out"),
+        read_pad_length=70,
+    )
+    run_pipeline(cfg, left=str(lf), right=str(rf), backend="device")
+    ingested = np.load(tmp_path / "out" / "reads.npz")
+
+    mem = pack_reads(
+        normalize_mate2(reads), pad_length=cfg.read_pad_length, paired=True
+    )
+    np.testing.assert_array_equal(ingested["codes"], mem.codes)
+    np.testing.assert_array_equal(ingested["lengths"], mem.lengths)
+    assert bool(ingested["paired"]) and mem.paired

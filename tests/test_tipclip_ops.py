@@ -79,3 +79,40 @@ def test_tipclip_disabled(rng):
     dev = _device_alive(reads, cfg)
     orc = _oracle_alive(reads, cfg)
     assert dev == orc  # both no-ops beyond correction
+
+
+def test_error_branch_ratio_pops_low_coverage_bubble(rng):
+    """A single-substitution bubble at coverage 4 survives the lax
+    sibling_ratio (1 >= 0.1*4) but is popped by error_branch_ratio
+    (1 < 0.5*4); a long low branch (real isoform structure) at the same
+    abundance ratio is protected by the k+2 length gate."""
+    t = simulate_transcripts(rng, n=1, length=400)[0]
+    # error-free reads at ~4x, plus ONE read with a mid-read error
+    reads = sample_reads(rng, [t], coverage=4, read_length=80,
+                         error_rate=0.0)
+    bad = t[100:180]
+    bad = bad[:40] + ("A" if bad[40] != "A" else "C") + bad[41:]
+    reads.append(bad)
+    cfg = AssemblyConfig(k=21)
+    true_kmers = set(count_kmers([t], cfg.k))
+    got = set(_device_alive(reads, cfg))
+    assert got == true_kmers  # error bubble fully popped
+    assert got == set(_oracle_alive(reads, cfg))  # parity
+    # with the stricter rule disabled the bubble survives
+    cfg_off = AssemblyConfig(k=21, error_branch_ratio=0.0)
+    assert set(_device_alive(reads, cfg_off)) > true_kmers
+
+
+def test_error_branch_ratio_spares_long_isoform_branch(rng):
+    """Two isoforms at 8:1 abundance sharing flanking exons: the rare
+    isoform's alternative exon is a LONG parallel branch — the k+2
+    length gate must keep error_branch_ratio away from it even though
+    its abundance ratio (1/8 < 0.5) would doom a short branch."""
+    iso = simulate_isoforms(rng, exon_length=120)
+    reads = sample_reads(rng, iso, abundances=[8, 1], coverage=8,
+                         read_length=70, error_rate=0.0)
+    cfg = AssemblyConfig(k=21)
+    got = set(_device_alive(reads, cfg))
+    for t in iso:
+        assert set(count_kmers([t], cfg.k)) <= got
+    assert got == set(_oracle_alive(reads, cfg))

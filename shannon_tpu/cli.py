@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop k-mers below this count")
     p.add_argument("--sibling-ratio", type=float, default=0.1,
                    help="error-branch pruning ratio (0 disables)")
+    p.add_argument(
+        "--error-branch-ratio", type=float,
+        default=AssemblyConfig.error_branch_ratio,
+        help="stricter pruning ratio for branches at the single-error "
+             "footprint length <= k+2 (0 disables)",
+    )
     p.add_argument("--min-transcript-length", type=int, default=200)
     p.add_argument("--kmer-capacity", type=int, default=1 << 22,
                    help="device spectrum table capacity")
@@ -48,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["device", "oracle"], default="device",
                    help="'oracle' = pure-Python reference-semantics path")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--min-output-abundance", type=float, default=1.5)
+    p.add_argument(
+        "--min-output-abundance", type=float,
+        default=AssemblyConfig.min_output_abundance,
+    )
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace to OUT/profile "
                    "(open with TensorBoard / xprof)")
@@ -70,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         min_abundance=args.min_abundance,
         strand_specific=args.strand_specific,
         sibling_ratio=args.sibling_ratio,
+        error_branch_ratio=args.error_branch_ratio,
         min_transcript_length=args.min_transcript_length,
         min_output_abundance=args.min_output_abundance,
         kmer_capacity=args.kmer_capacity,

@@ -99,26 +99,49 @@ def main() -> None:
     from shannon_tpu.utils.timing import StageTimer
 
     rng = np.random.default_rng(7)
-    # realistic k-mer multiplicity: reads drawn from a transcriptome
+    # realistic k-mer multiplicity: reads drawn from a transcriptome.
+    # DISTINCT reads per timed iteration: the runtime behind the TPU
+    # tunnel memoizes identical (program, input) executions, so timing
+    # the same batch ITERS times measures its result cache, not the
+    # kernel (measured 0.07ms/batch vs 32ms real)
     ts = simulate_transcripts(rng, n=50, length=1500)
+    pool_n = N_READS * (2 * ITERS + 1)
     reads = sample_reads(
-        rng, ts, coverage=float(N_READS * READ_LEN) / (50 * 1500),
+        rng, ts, coverage=float(pool_n * READ_LEN) / (50 * 1500),
         read_length=READ_LEN, error_rate=0.01,
-    )[:N_READS]
-    while len(reads) < N_READS:
+    )[:pool_n]
+    while len(reads) < pool_n:
         reads.append(random_seq(rng, READ_LEN))
     batch = pack_reads(reads, pad_length=READ_LEN)
-    codes = jnp.asarray(batch.codes)
-    lengths = jnp.asarray(batch.lengths)
+    batches = [
+        (
+            jnp.asarray(batch.codes[i * N_READS : (i + 1) * N_READS]),
+            jnp.asarray(batch.lengths[i * N_READS : (i + 1) * N_READS]),
+        )
+        for i in range(2 * ITERS + 1)
+    ]
+    codes, lengths = batches[0]
 
     # --- counting kernel steady-state ----------------------------------
+    # On this runtime block_until_ready does NOT force remote
+    # execution — only a data fetch does (measured: 5 "synced" batches
+    # in 0.17ms).  So: dispatch m distinct batches, reduce their counts
+    # to ONE device scalar, fetch it (forces the chain), and difference
+    # the m vs 2m timings to cancel the fetch's ~100ms tunnel RTT.
     spec = count_spectrum(codes, lengths, K, CAPACITY)  # compile (cached)
-    spec.hi.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        spec = count_spectrum(codes, lengths, K, CAPACITY)
-    spec.hi.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    int(spec.n)  # force
+
+    def _run(bs_):
+        t0 = time.perf_counter()
+        ns = [count_spectrum(c, l, K, CAPACITY).n for c, l in bs_]
+        total = int(jnp.stack(ns).sum())
+        return time.perf_counter() - t0, total
+
+    m = ITERS
+    _run(batches[1 : 1 + m])  # warm any dispatch-path caches
+    t_m, _ = _run(batches[1 : 1 + m])
+    t_2m, _ = _run(batches[1 : 1 + 2 * m])
+    dt = max((t_2m - t_m) / m, 1e-9)
     count_reads_s = N_READS / dt
 
     # --- python reference counter ---------------------------------------

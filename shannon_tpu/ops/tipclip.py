@@ -216,24 +216,41 @@ def _drop_contigs(
 
 
 def clip_tips_spectrum(
-    spec: Spectrum, config, canonical: bool = True
+    spec: Spectrum, config, canonical: bool = True, notes: dict | None = None
 ) -> Spectrum:
     """Iterated tip clipping to fixpoint, matching oracle clip_tips:
     one device condensation + host contig-level rounds + one device
-    compaction."""
+    compaction.  `notes`, if given, receives the substage wall times
+    (condense/fetch/rounds/drop) for the pipeline's StageTimer."""
+    import time as _time
+
     tip_klen = config.tip_klen_effective
     if tip_klen < 0:
         return spec
+    t0 = _time.perf_counter()
     ca = build_contig_arrays(spec, config.k, canonical)
     n = int(ca.n_contigs)
+    t1 = _time.perf_counter()
     if n == 0:
         return spec
     klen = np.asarray(ca.klen[:n])
     csum = np.asarray(ca.count_sum[:n])
     out_adj = _adjacency_lists(np.asarray(ca.out_edges[:, :n]), n)
+    t2 = _time.perf_counter()
     doomed = _host_clip_rounds(klen, csum, out_adj, config)
+    t3 = _time.perf_counter()
+    if notes is not None:
+        notes.update(
+            tc_condense_s=round(t1 - t0, 2),
+            tc_fetch_s=round(t2 - t1, 2),
+            tc_rounds_s=round(t3 - t2, 2),
+            tc_contigs=n,
+        )
     if not doomed.any():
         return spec
     doomed_pad = np.zeros(ca.node_hi.shape[0], bool)
     doomed_pad[:n] = doomed
-    return _drop_contigs(spec, ca, jnp.asarray(doomed_pad))
+    out = _drop_contigs(spec, ca, jnp.asarray(doomed_pad))
+    if notes is not None:
+        notes["tc_drop_s"] = round(_time.perf_counter() - t3, 2)
+    return out

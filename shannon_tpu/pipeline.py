@@ -116,7 +116,10 @@ def _spectrum_device(
         timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))
     if not clip:
         return spec
-    spec = clip_tips_spectrum(spec, config, canonical=canonical)
+    tc_notes: dict = {}
+    spec = clip_tips_spectrum(
+        spec, config, canonical=canonical, notes=tc_notes
+    )
     spec.hi.block_until_ready()
     # tip clipping typically removes the majority of (error) k-mers:
     # re-shrink so the downstream condensation runs at the clipped
@@ -125,7 +128,9 @@ def _spectrum_device(
     spec = shrink_spectrum(spec)
     if timer:
         timer.note(
-            "spectrum+graph", tipclip_s=round(_time.perf_counter() - t2, 2)
+            "spectrum+graph",
+            tipclip_s=round(_time.perf_counter() - t2, 2),
+            **tc_notes,
         )
     return spec
 
@@ -197,7 +202,30 @@ def _thread_device(
     t0 = _time.perf_counter()
     n = batch.n_reads
     bs = config.batch_reads
+    # pipelined: keep a small window of batches dispatched ahead so
+    # batch i+1 executes while batch i streams through the ~30 MB/s
+    # tunnel (hides all but the last transfer); the window is bounded
+    # so in-flight device buffers stay O(window), not O(dataset)
+    WINDOW = 4
     parts: list[tuple[dict, int, int]] = []
+    pending: list[tuple[object, object, object, int, int, int]] = []
+
+    def _collect() -> None:
+        buf, outs, lengths_j, n_rows, w_eff, r_eff = pending.pop(0)
+        d = unpack_thread_buffer(np.asarray(buf), w_eff, r_eff)
+        W_full = batch.codes.shape[1] - config.k + 1
+        R_full = (W_full + 1) // 2 + 1
+        if (w_eff < W_full and d["n_events"].max(initial=0) > w_eff) or (
+            r_eff < R_full and d["n_runs"].max(initial=0) > r_eff
+        ):
+            # rare wide read: re-transfer this batch at full width
+            buf = pack_thread_outputs(*outs, lengths_j, w=W_full, r=R_full)
+            d = unpack_thread_buffer(np.asarray(buf), W_full, R_full)
+            w_eff, r_eff = W_full, R_full
+        parts.append(
+            ({k: v[:n_rows] for k, v in d.items()}, w_eff, r_eff)
+        )
+
     for s in range(0, n, bs):
         e = min(s + bs, n)
         codes = batch.codes[s:e]
@@ -218,17 +246,11 @@ def _thread_device(
         w_eff = min(THREAD_TRIM_W, W_full)
         r_eff = min(THREAD_TRIM_R, R_full)
         buf = pack_thread_outputs(*outs, lengths_j, w=w_eff, r=r_eff)
-        d = unpack_thread_buffer(np.asarray(buf), w_eff, r_eff)
-        if (w_eff < W_full and d["n_events"].max(initial=0) > w_eff) or (
-            r_eff < R_full and d["n_runs"].max(initial=0) > r_eff
-        ):
-            # rare wide read: re-transfer this batch at full width
-            buf = pack_thread_outputs(*outs, lengths_j, w=W_full, r=R_full)
-            d = unpack_thread_buffer(np.asarray(buf), W_full, R_full)
-            w_eff, r_eff = W_full, R_full
-        parts.append(
-            ({k: v[: e - s] for k, v in d.items()}, w_eff, r_eff)
-        )
+        pending.append((buf, outs, lengths_j, e - s, w_eff, r_eff))
+        if len(pending) >= WINDOW:
+            _collect()
+    while pending:
+        _collect()
     empty = (np.empty(0, np.int64), np.zeros(1, np.int64), np.empty(0, np.int64))
     if not parts:
         return empty

@@ -358,34 +358,59 @@ def _reduce_stage(
 # ---------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("k",))
+def contig_base_streams(ca: ContigArrays, k: int):
+    """Device-side sequence packing: (tails, heads) where tails[:sum klen]
+    is every node's LAST base code in (cid, offset) order — i.e. the
+    concatenated per-contig tail-base runs — and heads[c] is contig c's
+    k-1 leading base codes.  Lets the host fetch ~1 byte/base instead of
+    the full node tables (node_cid/off/hi/lo at table capacity were a
+    ~32MB download through a ~30 MB/s tunnel for a 2M-lane table;
+    measured in the materialize stage)."""
+    C2 = ca.node_hi.shape[0]
+    real = ca.node_cid >= 0
+    BIG = jnp.int32(0x7FFFFFFF)
+    key_cid = jnp.where(real, ca.node_cid, BIG)
+    base = (ca.node_lo & 3).astype(jnp.int32)
+    _, _, tails = jax.lax.sort(
+        (key_cid, jnp.where(real, ca.node_off, 0), base), num_keys=2
+    )
+    hl = jnp.clip(ca.head_lane, 0, C2 - 1)
+    h_hi = ca.node_hi[hl]
+    h_lo = ca.node_lo[hl]
+    cols = []
+    for j in range(k - 1):
+        shift = 2 * (k - 1 - j)
+        if shift >= 32:
+            b = h_hi >> (shift - 32)
+        else:
+            b = (h_lo >> shift) | (h_hi << (32 - shift))
+        cols.append((b & 3).astype(jnp.uint8))
+    heads = jnp.stack(cols, axis=1)  # [C2, k-1]
+    return tails.astype(jnp.uint8), heads
+
+
 def contig_sequences(ca: ContigArrays, k: int) -> list[str]:
-    """Vectorized host reconstruction of contig base strings."""
+    """Host reconstruction of contig base strings from the device base
+    streams (see contig_base_streams)."""
     n_contigs = int(ca.n_contigs)
-    klen = np.asarray(ca.klen[:n_contigs])
-    node_cid = np.asarray(ca.node_cid)
-    node_off = np.asarray(ca.node_off)
-    node_hi = np.asarray(ca.node_hi, dtype=np.uint64)
-    node_lo = np.asarray(ca.node_lo, dtype=np.uint64)
-    real = node_cid >= 0
-    vals = (node_hi << np.uint64(32)) | node_lo
+    klen = np.asarray(ca.klen[:n_contigs], dtype=np.int64)
+    tails_dev, heads_dev = contig_base_streams(ca, k)
+    total_tails = int(klen.sum())
+    tails = np.asarray(tails_dev[:total_tails])
+    heads = np.asarray(heads_dev[:n_contigs])
 
     lengths = klen + k - 1
     starts = np.zeros(n_contigs + 1, dtype=np.int64)
     np.cumsum(lengths, out=starts[1:])
-    total = int(starts[-1])
-    buf = np.zeros(total, dtype=np.uint8)
-
-    # every node writes its LAST base at position off + k - 1
-    pos = starts[node_cid[real]] + node_off[real] + k - 1
-    buf[pos] = (vals[real] & np.uint64(3)).astype(np.uint8)
-    # head nodes write their remaining k-1 leading bases
-    heads = real & (node_off == 0)
-    hv = vals[heads]
-    hstart = starts[node_cid[heads]]
-    for i in range(k - 1):
-        buf[hstart + i] = ((hv >> np.uint64(2 * (k - 1 - i))) & np.uint64(3)).astype(
-            np.uint8
-        )
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    # contig c = heads[c] (k-1 leading bases) + its tail-base run
+    idx_h = starts[:-1][:, None] + np.arange(k - 1, dtype=np.int64)[None, :]
+    buf[idx_h.ravel()] = heads.ravel()
+    tcum = np.zeros(n_contigs, dtype=np.int64)
+    np.cumsum(klen[:-1], out=tcum[1:])
+    within = np.arange(total_tails, dtype=np.int64) - np.repeat(tcum, klen)
+    buf[np.repeat(starts[:-1] + k - 1, klen) + within] = tails
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     chars = lut[buf]
     return [

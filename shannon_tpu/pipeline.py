@@ -393,6 +393,41 @@ def normalize_mate2(reads: list[str]) -> list[str]:
     return out
 
 
+def ingest_paired_files(
+    left: str, right: str, pad_length: int = 0
+) -> ReadBatch:
+    """Pack a paired library from two mate files into one interleaved
+    batch [L0, R0, L1, R1, ...] with mate 2 flipped to transcript
+    orientation.  Must stay batch-identical to the in-memory route
+    pack_reads(normalize_mate2(interleaved), paired=True) — pinned by
+    tests/test_pipeline.py::test_paired_ingest_routes_identical."""
+    from shannon_tpu.io.dna import revcomp_code_rows
+    from shannon_tpu.native import pack_file
+
+    bl = pack_file(left, pad_length=pad_length)
+    br = pack_file(right, pad_length=pad_length)
+    if bl.n_reads != br.n_reads:
+        raise ValueError(
+            f"paired inputs differ in length: {bl.n_reads} vs {br.n_reads}"
+        )
+    # auto pad may differ between the two files (e.g. 150bp vs 151bp
+    # libraries): widen both to the common pad
+    pad = max(bl.pad_length, br.pad_length)
+    for b in (bl, br):
+        if b.pad_length < pad:
+            b.codes = np.pad(
+                b.codes, ((0, 0), (0, pad - b.pad_length)), constant_values=4
+            )
+    n = bl.n_reads
+    codes = np.empty((2 * n, pad), np.uint8)
+    lengths = np.empty(2 * n, np.int32)
+    codes[0::2] = bl.codes
+    lengths[0::2] = bl.lengths
+    codes[1::2] = revcomp_code_rows(br.codes, br.lengths)
+    lengths[1::2] = br.lengths
+    return ReadBatch(codes=codes, lengths=lengths, paired=True)
+
+
 def assemble(
     reads: list[str],
     config: AssemblyConfig | None = None,
@@ -542,35 +577,9 @@ def run_pipeline(
                         single, pad_length=config.read_pad_length
                     )
             elif left is not None and right is not None:
-                bl = pack_file(left, pad_length=config.read_pad_length)
-                br = pack_file(right, pad_length=config.read_pad_length)
-                if bl.n_reads != br.n_reads:
-                    raise ValueError(
-                        f"paired inputs differ in length: {bl.n_reads} vs "
-                        f"{br.n_reads}"
-                    )
-                # interleave rows [L0, R0, ...] and normalize mate 2 to
-                # transcript orientation (shared vectorized code-space RC)
-                from shannon_tpu.io.dna import revcomp_code_rows
-
-                # auto pad may differ between the two files (e.g. 150bp
-                # vs 151bp libraries): widen both to the common pad
-                pad = max(bl.pad_length, br.pad_length)
-                for b in (bl, br):
-                    if b.pad_length < pad:
-                        b.codes = np.pad(
-                            b.codes,
-                            ((0, 0), (0, pad - b.pad_length)),
-                            constant_values=4,
-                        )
-                n = bl.n_reads
-                codes = np.empty((2 * n, pad), np.uint8)
-                lengths = np.empty(2 * n, np.int32)
-                codes[0::2] = bl.codes
-                lengths[0::2] = bl.lengths
-                codes[1::2] = revcomp_code_rows(br.codes, br.lengths)
-                lengths[1::2] = br.lengths
-                batch = ReadBatch(codes=codes, lengths=lengths, paired=True)
+                batch = ingest_paired_files(
+                    left, right, pad_length=config.read_pad_length
+                )
             else:
                 raise ValueError("provide --single or --left/--right")
 

@@ -100,6 +100,34 @@ def test_run_pipeline_paired(rng, tmp_path):
     assert res.canonical_set() == {min(t, revcomp_str(t))}
 
 
+def test_paired_ingest_routes_identical(rng, tmp_path):
+    """The file route (ingest_paired_files) and the in-memory route
+    (pack_reads(normalize_mate2(...), paired=True)) must produce
+    identical batches — codes, lengths, paired flag (VERDICT r2 weak
+    #7: the two mate-2 normalizations were never pinned together)."""
+    from shannon_tpu.io.pack import pack_reads
+    from shannon_tpu.pipeline import ingest_paired_files, normalize_mate2
+    from shannon_tpu.sim import sample_paired_reads
+
+    t = simulate_transcripts(rng, n=2, length=300)
+    reads = sample_paired_reads(rng, t, coverage=10, read_length=63)
+    left = reads[0::2]
+    right = reads[1::2]
+    lf, rf = tmp_path / "l.fasta", tmp_path / "r.fasta"
+    write_fasta(lf, [(f"l{i}", s) for i, s in enumerate(left)])
+    write_fasta(rf, [(f"r{i}", s) for i, s in enumerate(right)])
+
+    file_batch = ingest_paired_files(str(lf), str(rf))
+    mem_batch = pack_reads(
+        normalize_mate2(reads),
+        pad_length=file_batch.pad_length,
+        paired=True,
+    )
+    assert file_batch.paired and mem_batch.paired
+    np.testing.assert_array_equal(file_batch.lengths, mem_batch.lengths)
+    np.testing.assert_array_equal(file_batch.codes, mem_batch.codes)
+
+
 def test_cli_end_to_end(dataset, tmp_path, capsys):
     from shannon_tpu.cli import main
 

@@ -6,12 +6,16 @@ per process, even with a warm persistent compile cache — measured 79s
 first call / 66ms steady for the counting kernel); the second (steady)
 run is the production-throughput number (a deployment streams many
 datasets through one resident process)."""
-import sys, time, json
+import sys, time, json, resource
 import numpy as np
 
 n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
 from shannon_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _count_programs  # distinct-program diagnostic
+programs = _count_programs()
 from shannon_tpu.sim import simulate_transcripts, sample_reads
 from shannon_tpu.pipeline import assemble
 from shannon_tpu.config import AssemblyConfig
@@ -41,4 +45,9 @@ for label in ("cold", "steady"):
     }
     print(f"--- {label}: {dt:.1f}s ({len(reads)/dt:.0f} reads/s)", flush=True)
 out["stats"] = res.stats
+out["n_reads"] = len(reads)
+out["distinct_programs"] = len(programs.keys)
+out["peak_rss_mb"] = int(
+    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+)
 print(json.dumps(out))

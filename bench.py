@@ -25,7 +25,6 @@ compiles, later runs hit ~/.cache/shannon_tpu/jax).
 from __future__ import annotations
 
 import json
-import logging
 import os
 import resource
 import time
@@ -56,29 +55,10 @@ def _simulate(rng, n_reads: int, n_tr: int = 500, tlen: int = 1500):
     return ts, reads
 
 
-class _ProgramCounter(logging.Handler):
-    """Counts DISTINCT compiled programs via the persistent-cache key
-    log lines (jax._src.compiler logs 'PERSISTENT COMPILATION CACHE
-    HIT/MISS ... key <key>' once per program per process) — the
-    compile-shape-churn diagnostic VERDICT r2 weak #3 asked for."""
-
-    def __init__(self) -> None:
-        super().__init__(level=logging.DEBUG)
-        self.keys: set[str] = set()
-
-    def emit(self, record: logging.LogRecord) -> None:
-        msg = record.getMessage()
-        if "PERSISTENT COMPILATION CACHE" in msg:
-            self.keys.add(msg.rsplit("'", 2)[-2])
-
-
-def _count_programs() -> _ProgramCounter:
-    counter = _ProgramCounter()
-    lg = logging.getLogger("jax._src.compiler")
-    lg.addHandler(counter)
-    if lg.level == logging.NOTSET or lg.level > logging.DEBUG:
-        lg.setLevel(logging.DEBUG)
-    return counter
+# Distinct-program counting (the compile-shape-churn diagnostic
+# VERDICT r2 weak #3 asked for) lives in shannon_tpu.utils.jaxdiag so
+# scripts can import it without the sys.path hack ADVICE r3 flagged.
+from shannon_tpu.utils.jaxdiag import count_programs as _count_programs
 
 
 def main() -> None:

@@ -12,10 +12,8 @@ import numpy as np
 n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
 from shannon_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
-import os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import _count_programs  # distinct-program diagnostic
-programs = _count_programs()
+from shannon_tpu.utils.jaxdiag import count_programs  # distinct-program diagnostic
+programs = count_programs()
 from shannon_tpu.sim import simulate_transcripts, sample_reads
 from shannon_tpu.pipeline import assemble
 from shannon_tpu.config import AssemblyConfig
@@ -47,7 +45,9 @@ for label in ("cold", "steady"):
 out["stats"] = res.stats
 out["n_reads"] = len(reads)
 out["distinct_programs"] = len(programs.keys)
+# ru_maxrss is KiB on Linux, bytes on macOS
+_rss_div = 1024 * 1024 if sys.platform == "darwin" else 1024
 out["peak_rss_mb"] = int(
-    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // _rss_div
 )
 print(json.dumps(out))

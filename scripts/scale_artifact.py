@@ -19,22 +19,30 @@ def main() -> None:
     log_path, out_path = sys.argv[1], sys.argv[2]
     text = open(log_path).read()
     out: dict = {"source": log_path}
+    complete = False
     for ln in text.splitlines():
         if ln.startswith("{"):
-            d = json.loads(ln)
-            out.update(
-                {
-                    "partial": False,
-                    "n_reads": d.get("n_reads"),
-                    "cold": d["cold"],
-                    "steady": d["steady"],
-                    "stats": d["stats"],
-                    "distinct_programs": d.get("distinct_programs"),
-                    "peak_rss_mb": d.get("peak_rss_mb"),
-                }
-            )
+            # a truncated final line (run killed mid-print) or an
+            # unrelated '{'-prefixed echo must fall through to the
+            # stage-echo partial mode, not crash (ADVICE r3)
+            try:
+                d = json.loads(ln)
+                out.update(
+                    {
+                        "partial": False,
+                        "n_reads": d.get("n_reads"),
+                        "cold": d["cold"],
+                        "steady": d["steady"],
+                        "stats": d["stats"],
+                        "distinct_programs": d.get("distinct_programs"),
+                        "peak_rss_mb": d.get("peak_rss_mb"),
+                    }
+                )
+            except (json.JSONDecodeError, KeyError):
+                continue
+            complete = True
             break
-    else:
+    if not complete:
         stages = re.findall(r"\[[\d:]+\] (\S+): ([\d.]+)s(.*)", text)
         out.update(
             {
@@ -46,7 +54,9 @@ def main() -> None:
                 "cache_misses": text.count("CACHE MISS"),
             }
         )
-    json.dump(out, open(out_path, "w"), indent=1)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(f"wrote {out_path} (partial={out.get('partial')})")
 
 

@@ -400,7 +400,7 @@ def ingest_paired_files(
     batch [L0, R0, L1, R1, ...] with mate 2 flipped to transcript
     orientation.  Must stay batch-identical to the in-memory route
     pack_reads(normalize_mate2(interleaved), paired=True) — pinned by
-    tests/test_pipeline.py::test_paired_ingest_routes_identical."""
+    tests/test_pipeline.py::test_paired_ingest_file_vs_memory_batches."""
     from shannon_tpu.io.dna import revcomp_code_rows
     from shannon_tpu.native import pack_file
 

@@ -100,7 +100,7 @@ def test_run_pipeline_paired(rng, tmp_path):
     assert res.canonical_set() == {min(t, revcomp_str(t))}
 
 
-def test_paired_ingest_routes_identical(rng, tmp_path):
+def test_paired_ingest_file_vs_memory_batches(rng, tmp_path):
     """The file route (ingest_paired_files) and the in-memory route
     (pack_reads(normalize_mate2(...), paired=True)) must produce
     identical batches — codes, lengths, paired flag (VERDICT r2 weak

@@ -49,14 +49,7 @@ class ReadBatch:
         base j of a word in bits [2j, 2j+2) (little-endian in base index).
         Invalid bases pack as 0 — consumers must use `lengths` + the uint8
         view for validity; the packed view is a bandwidth optimization."""
-        n, L = self.codes.shape
-        W = (L + 15) // 16
-        padded = np.zeros((n, W * 16), dtype=np.uint32)
-        np.copyto(padded[:, :L], self.codes, casting="unsafe")
-        padded[padded >= 4] = 0
-        shifts = (2 * (np.arange(W * 16, dtype=np.uint32) % 16)).reshape(1, -1)
-        words = (padded << shifts).reshape(n, W, 16).sum(axis=2, dtype=np.uint32)
-        return words
+        return pack_words(self.codes)
 
     def pad_to(self, n_reads: int) -> "ReadBatch":
         """Zero-length-pad the batch to exactly n_reads rows (static shapes
@@ -70,6 +63,52 @@ class ReadBatch:
         lengths = np.zeros(n_reads, dtype=np.int32)
         lengths[: self.n_reads] = self.lengths
         return ReadBatch(codes=codes, lengths=lengths, paired=self.paired)
+
+
+def pack_words(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack [n, L] uint8 codes to [n, ceil(L/16)] uint32 words,
+    16 bases/word, base j of a word in bits [2j, 2j+2).  Invalid bases
+    (code >= 4: mid-read N or padding) pack as 0; consumers recover
+    validity from `lengths` plus invalid_mask_words when a batch has
+    mid-read invalid bases.
+
+    This is THE host->device transfer format of the hot path (SURVEY.md
+    §8 M1 "2-bit-packed read batches"): the tunnel to this TPU moves
+    ~30-40 MB/s, and the 100bp counting batch is 6.55MB as uint8 vs
+    1.83MB packed — a 3.6x cut on the dominant cost of counting AND
+    threading (BENCH_r03: 166ms/65k-read batch, of which ~15-40ms is
+    compute)."""
+    n, L = codes.shape
+    W = (L + 15) // 16
+    padded = np.zeros((n, W * 16), dtype=np.uint32)
+    np.copyto(padded[:, :L], codes, casting="unsafe")
+    padded[padded >= 4] = 0
+    shifts = (2 * (np.arange(W * 16, dtype=np.uint32) % 16)).reshape(1, -1)
+    return (padded << shifts).reshape(n, W, 16).sum(axis=2, dtype=np.uint32)
+
+
+def invalid_mask_words(
+    codes: np.ndarray, lengths: np.ndarray
+) -> np.ndarray | None:
+    """Bit-packed mid-read-invalid mask for a packed batch: bit (j % 32)
+    of word j // 32 is set where codes[i, j] >= 4 AND j < lengths[i]
+    (an N inside the read — the only validity information pack_words
+    loses; tail padding is recovered from `lengths` alone).  Returns
+    None when the batch has no mid-read invalid bases (the overwhelming
+    common case), so the mask upload and its separate device program
+    are only paid when real N's exist."""
+    n, L = codes.shape
+    inread = np.arange(L, dtype=np.int32)[None, :] < np.asarray(
+        lengths, np.int32
+    )[:, None]
+    bad = (codes >= 4) & inread
+    if not bad.any():
+        return None
+    W = (L + 31) // 32
+    padded = np.zeros((n, W * 32), dtype=np.uint32)
+    padded[:, :L] = bad
+    shifts = (np.arange(W * 32, dtype=np.uint32) % 32).reshape(1, -1)
+    return (padded << shifts).reshape(n, W, 32).sum(axis=2, dtype=np.uint32)
 
 
 def auto_pad_length(max_len: int) -> int:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shannon_tpu.ops.kmers import SENTINEL, extract_kmers
+from shannon_tpu.ops.kmers import SENTINEL, extract_kmers, extract_kmers_packed
 
 
 @jax.tree_util.register_pytree_node_class
@@ -193,16 +193,8 @@ def _unique_reduce_unit(hi: jnp.ndarray, lo: jnp.ndarray, capacity: int) -> Spec
     return Spectrum(hi=out_hi, lo=out_lo, count=out_cnt, n=n_unique)
 
 
-@partial(jax.jit, static_argnames=("k", "capacity", "canonical"))
-def count_spectrum(
-    codes: jnp.ndarray,
-    lengths: jnp.ndarray,
-    k: int,
-    capacity: int,
-    canonical: bool = True,
-) -> Spectrum:
-    """Count all k-mers of a read batch into a sorted Spectrum."""
-    hi, lo, valid = extract_kmers(codes, lengths, k, canonical)
+def _spectrum_from_windows(hi, lo, k: int, capacity: int, canonical: bool) -> Spectrum:
+    """Shared counting tail: flatten window k-mers, sort, segment-reduce."""
     hi, lo = hi.reshape(-1), lo.reshape(-1)
     # hi narrows to uint16 when every real k-mer fits 16 hi bits AND the
     # all-ones pair cannot occur as a real k-mer: k <= 23 always (hi <
@@ -217,6 +209,48 @@ def count_spectrum(
     # to the sort's data movement for nothing
     hi, lo = jax.lax.sort((hi, lo), num_keys=2)
     return _unique_reduce_unit(hi, lo, capacity)
+
+
+@partial(jax.jit, static_argnames=("k", "capacity", "canonical"))
+def count_spectrum(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    capacity: int,
+    canonical: bool = True,
+) -> Spectrum:
+    """Count all k-mers of a read batch into a sorted Spectrum."""
+    hi, lo, _ = extract_kmers(codes, lengths, k, canonical)
+    return _spectrum_from_windows(hi, lo, k, capacity, canonical)
+
+
+@partial(jax.jit, static_argnames=("k", "capacity", "canonical", "length"))
+def count_spectrum_packed(
+    words: jnp.ndarray,  # [n, ceil(L/16)] uint32 (io.pack.pack_words)
+    lengths: jnp.ndarray,
+    k: int,
+    capacity: int,
+    canonical: bool = True,
+    length: int | None = None,
+    mask: jnp.ndarray | None = None,
+) -> Spectrum:
+    """count_spectrum over the 2-bit transfer format — the production
+    upload path (SURVEY.md §8 M1 / BASELINE north star "2-bit-packed
+    read batches"): 3.6x fewer tunnel bytes than the uint8 codes for
+    bit-identical output.  `mask` carries mid-read invalid positions
+    and is only present for batches that contain them (keeps the
+    common-case program mask-free)."""
+    hi, lo, _ = extract_kmers_packed(words, lengths, k, canonical, length, mask)
+    return _spectrum_from_windows(hi, lo, k, capacity, canonical)
+
+
+@jax.jit
+def _overflow_flag(hi: jnp.ndarray) -> jnp.ndarray:
+    """Device-side Spectrum.overflowed(): last lane is a real entry.
+    Kept as a jitted scalar program so drivers can fetch it with
+    copy_to_host_async instead of a blocking per-batch round-trip
+    (the tunnel's ~100ms RTT, twice per batch, dominated count_s)."""
+    return hi[-1] != SENTINEL
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -331,6 +365,25 @@ def spectrum_from_arrays(
     )
 
 
+def pad_batch_rows(
+    codes: np.ndarray, lengths: np.ndarray, batch_reads: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a partial batch up to a power-of-two row count (capped at
+    batch_reads, floored at 16) so XLA programs are shape-canonical
+    (compile-cache hits across datasets; padded rows yield no valid
+    windows)."""
+    rows_in = codes.shape[0]
+    if rows_in == batch_reads:
+        return codes, lengths
+    rows = 1 << max(rows_in - 1, 1).bit_length()
+    rows = min(max(rows, 16), batch_reads)
+    if rows > rows_in:
+        pad = rows - rows_in
+        codes = np.pad(codes, ((0, pad), (0, 0)), constant_values=4)
+        lengths = np.pad(lengths, (0, pad))
+    return codes, lengths
+
+
 def count_reads_spectrum(
     batch_codes: np.ndarray,
     batch_lengths: np.ndarray,
@@ -339,52 +392,80 @@ def count_reads_spectrum(
     canonical: bool = True,
     batch_reads: int = 1 << 16,
 ) -> Spectrum:
-    """Host driver: stream read batches through count_spectrum, merging
-    into one spectrum (single-chip path; the sharded path lives in
-    shannon_tpu/parallel).
+    """Host driver: stream read batches through count_spectrum_packed,
+    merging into one spectrum (single-chip path; the sharded path lives
+    in shannon_tpu/parallel).
 
-    `capacity` bounds the distinct k-mers of any ONE batch (overflow in
-    a batch is still detected by the caller via Spectrum.overflowed());
-    across batches the merged table grows at tight capacity, so the
-    returned spectrum's capacity may exceed or undercut `capacity` —
-    always >= its own n."""
+    Transfer discipline (VERDICT r3 item 1): each batch is 2-bit packed
+    host-side (3.6x fewer tunnel bytes), and overflow checks are
+    device-scalar flags fetched with copy_to_host_async and resolved
+    ONE batch late — the next batch's upload+count is already dispatched
+    before the driver blocks on any flag, so the old 2-blocking-fetches
+    -per-batch pattern (~200ms of ~100ms-RTT stalls per 65k reads, most
+    of count_s) disappears.  A speculative fixed-capacity merge that
+    turns out overflowed is redone with the sized (growing) merge from
+    its kept inputs — correctness is unchanged, only the sync moved.
+
+    `capacity` bounds the distinct k-mers of any ONE batch; across
+    batches the merged table grows at tight capacity, so the returned
+    spectrum's capacity may exceed or undercut `capacity` — always >=
+    its own n."""
+    from shannon_tpu.io.pack import invalid_mask_words, pack_words
+
     n = batch_codes.shape[0]
     total: Spectrum | None = None
+    # pending = (prev_total, part, part_flag, merged_flag) of the most
+    # recent speculative step; resolved one batch later (or at the end)
+    pending: tuple | None = None
+
+    def _resolve() -> None:
+        nonlocal total, pending
+        if pending is None:
+            return
+        prev_total, part, pflag, mflag = pending
+        pending = None
+        if bool(pflag):
+            raise RuntimeError(
+                f"a read batch produced more than capacity={capacity} "
+                "distinct k-mers; raise kmer_capacity or lower "
+                "batch_reads"
+            )
+        if mflag is not None and bool(mflag):
+            # speculative fixed merge overflowed: redo as a growing merge
+            total = merge_spectra_sized(prev_total, part)
+
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
-        codes = batch_codes[s:e]
-        lengths = batch_lengths[s:e]
-        if e - s != batch_reads:
-            # pad every partial batch up to a power-of-two row count so
-            # XLA programs are shape-canonical (compile-cache hits across
-            # datasets; padded rows yield no valid windows)
-            rows = 1 << max(e - s - 1, 1).bit_length()
-            rows = min(max(rows, 16), batch_reads)
-            if rows > e - s:
-                pad = rows - (e - s)
-                codes = np.pad(codes, ((0, pad), (0, 0)), constant_values=4)
-                lengths = np.pad(lengths, (0, pad))
-        part = count_spectrum(
-            jnp.asarray(codes), jnp.asarray(lengths), k, capacity, canonical
+        codes, lengths = pad_batch_rows(
+            batch_codes[s:e], batch_lengths[s:e], batch_reads
         )
-        if part.overflowed():
-            # must be caught here: a growing merge below would absorb
-            # the truncation silently
-            raise RuntimeError(
-                f"batch of {codes.shape[0]} reads produced more than "
-                f"capacity={capacity} distinct k-mers; raise kmer_capacity "
-                "or lower batch_reads"
-            )
+        words = pack_words(codes)
+        mask = invalid_mask_words(codes, lengths)
+        part = count_spectrum_packed(
+            jnp.asarray(words),
+            jnp.asarray(lengths),
+            k,
+            capacity,
+            canonical,
+            length=codes.shape[1],
+            mask=None if mask is None else jnp.asarray(mask),
+        )
+        pflag = _overflow_flag(part.hi)
+        pflag.copy_to_host_async()
+        _resolve()  # previous step's flags landed while this batch uploaded
         if total is None:
             total = part
+            pending = (None, part, pflag, None)
         elif total.capacity == part.capacity:
             merged = merge_spectra_fixed(total, part)
-            if merged.overflowed():  # global table outgrew the capacity
-                total = merge_spectra_sized(total, part)
-            else:
-                total = merged
-        else:  # already grown: stay on the sized path
+            mflag = _overflow_flag(merged.hi)
+            mflag.copy_to_host_async()
+            pending = (total, part, pflag, mflag)
+            total = merged  # speculative; _resolve redoes on overflow
+        else:  # already grown: stay on the sized path (host-synced, rare)
+            pending = (None, part, pflag, None)
             total = merge_spectra_sized(total, part)
+    _resolve()
     if total is None:
         total = Spectrum(
             hi=jnp.full(capacity, SENTINEL, jnp.uint32),

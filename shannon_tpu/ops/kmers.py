@@ -75,6 +75,43 @@ def canonical_hilo(
     return jnp.where(take_fwd, hi, rhi), jnp.where(take_fwd, lo, rlo)
 
 
+def _windows_from_c32(
+    c32: jnp.ndarray,  # [n, L] uint32 base codes
+    bad: jnp.ndarray | None,  # [n, L] bool invalid-position mask, or None
+    lengths: jnp.ndarray,
+    k: int,
+    canonical: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared window assembly behind extract_kmers / extract_kmers_packed:
+    k static shifted ORs build (hi, lo) for every window, validity from
+    the per-position invalid mask (None = every position 0..3) plus the
+    window-fits-in-read check."""
+    n, L = c32.shape
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"pad_length {L} < k {k}")
+    hi = jnp.zeros((n, W), dtype=jnp.uint32)
+    lo = jnp.zeros((n, W), dtype=jnp.uint32)
+    valid = jnp.ones((n, W), dtype=bool)
+    for i in range(k):  # static unroll: k fused vector ops
+        ci = c32[:, i : i + W]
+        if bad is not None:
+            valid &= ~bad[:, i : i + W]
+        s = 2 * (k - 1 - i)
+        if s >= 32:
+            hi = hi | ((ci & 3) << (s - 32))
+        else:
+            lo = lo | ((ci & 3) << s)
+    # window must fit inside the read
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+    valid &= idx + k <= lengths[:, None]
+    if canonical:
+        hi, lo = canonical_hilo(hi, lo, k)
+    hi = jnp.where(valid, hi, SENTINEL)
+    lo = jnp.where(valid, lo, SENTINEL)
+    return hi, lo, valid
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers(
     codes: jnp.ndarray,  # [n, L] uint8 base codes (>=4 invalid)
@@ -87,32 +124,50 @@ def extract_kmers(
     Invalid windows (containing a non-ACGT code or extending past the
     read length) have (hi, lo) = SENTINEL and valid = False.
     """
-    n, L = codes.shape
-    W = L - k + 1
-    if W <= 0:
-        raise ValueError(f"pad_length {L} < k {k}")
     c32 = codes.astype(jnp.uint32)
-    hi = jnp.zeros((n, W), dtype=jnp.uint32)
-    lo = jnp.zeros((n, W), dtype=jnp.uint32)
-    valid = jnp.ones((n, W), dtype=bool)
-    for i in range(k):  # static unroll: k fused vector ops
-        ci = c32[:, i : i + W]
-        valid &= ci < 4
-        s = 2 * (k - 1 - i)
-        if s >= 32:
-            hi = hi | (ci << (s - 32))
-        elif s > 30:  # cannot happen (s even) — keep for clarity
-            raise AssertionError
-        else:
-            lo = lo | (ci << s)
-    # window must fit inside the read
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
-    valid &= idx + k <= lengths[:, None]
-    if canonical:
-        hi, lo = canonical_hilo(hi, lo, k)
-    hi = jnp.where(valid, hi, SENTINEL)
-    lo = jnp.where(valid, lo, SENTINEL)
-    return hi, lo, valid
+    return _windows_from_c32(c32, c32 >= 4, lengths, k, canonical)
+
+
+def unpack_words_device(words: jnp.ndarray, length: int) -> jnp.ndarray:
+    """[n, ceil(L/16)] uint32 packed words -> [n, L] uint32 codes 0..3
+    (io.pack.pack_words layout).  16 static shifts; XLA fuses the
+    unpack into whatever consumes the codes, so the packed upload costs
+    no extra memory pass on device."""
+    n, Ww = words.shape
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    c = (words[:, :, None] >> shifts) & jnp.uint32(3)
+    return c.reshape(n, Ww * 16)[:, :length]
+
+
+def unpack_mask_device(mask: jnp.ndarray, length: int) -> jnp.ndarray:
+    """[n, ceil(L/32)] uint32 bit mask -> [n, L] bool (io.pack
+    .invalid_mask_words layout)."""
+    n, Wm = mask.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    b = (mask[:, :, None] >> shifts) & jnp.uint32(1)
+    return b.reshape(n, Wm * 32)[:, :length].astype(bool)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "length"))
+def extract_kmers_packed(
+    words: jnp.ndarray,  # [n, ceil(L/16)] uint32 packed codes
+    lengths: jnp.ndarray,  # [n] int32
+    k: int,
+    canonical: bool = True,
+    length: int | None = None,
+    mask: jnp.ndarray | None = None,  # [n, ceil(L/32)] uint32 or None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """extract_kmers over the 2-bit transfer format (io.pack.pack_words)
+    — bit-identical output to extract_kmers on the uint8 codes the words
+    were packed from.  mask=None asserts the batch has no mid-read
+    invalid bases (the host driver checks via invalid_mask_words); with
+    a mask, windows touching a masked position are invalidated exactly
+    like the uint8 path's `code >= 4` check."""
+    if length is None:
+        length = 16 * words.shape[1]
+    c32 = unpack_words_device(words, length)
+    bad = None if mask is None else unpack_mask_device(mask, length)
+    return _windows_from_c32(c32, bad, lengths, k, canonical)
 
 
 def hilo_to_int(hi, lo) -> "jnp.ndarray":

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from shannon_tpu.ops.condense import ContigArrays
-from shannon_tpu.ops.kmers import extract_kmers
+from shannon_tpu.ops.kmers import extract_kmers, extract_kmers_packed
 from shannon_tpu.ops.spectrum import lookup_hilo
 
 
@@ -45,9 +45,32 @@ def thread_reads_device(
 ):
     """Returns (ev_cid [N, W], ev_run [N, W], n_events [N],
     run_p0, run_p1, run_o0, run_o1 — each [N, R], -1-padded)."""
-    N, L = codes.shape
-    W = L - k + 1
     hi, lo, valid = extract_kmers(codes, lengths, k, canonical=False)
+    return _thread_windows(hi, lo, valid, ca)
+
+
+@partial(jax.jit, static_argnames=("k", "length"))
+def thread_reads_device_packed(
+    words: jnp.ndarray,  # [N, ceil(L/16)] uint32 (io.pack.pack_words)
+    lengths: jnp.ndarray,
+    ca: ContigArrays,
+    k: int,
+    length: int | None = None,
+    mask: jnp.ndarray | None = None,
+):
+    """thread_reads_device over the 2-bit transfer format — identical
+    output; 3.6x fewer upload bytes on the ~30-40MB/s tunnel (VERDICT
+    r3 item 1: the threading driver pipelined downloads but uploaded
+    raw uint8, paying the full byte tax a second time after counting)."""
+    hi, lo, valid = extract_kmers_packed(
+        words, lengths, k, canonical=False, length=length, mask=mask
+    )
+    return _thread_windows(hi, lo, valid, ca)
+
+
+def _thread_windows(hi, lo, valid, ca: ContigArrays):
+    """Shared threading body on extracted window k-mers."""
+    N, W = hi.shape
     idx, hit = lookup_hilo(
         ca.node_hi, ca.node_lo, hi.reshape(-1), lo.reshape(-1)
     )

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from shannon_tpu.ops.count import Spectrum, _sort3, _unique_reduce
-from shannon_tpu.ops.kmers import SENTINEL, extract_kmers
+from shannon_tpu.ops.kmers import SENTINEL, extract_kmers, extract_kmers_packed
 from shannon_tpu.parallel.mesh import READS_AXIS
 
 
@@ -65,73 +65,7 @@ def count_spectrum_sharded(
     def local(codes_l, lengths_l):
         # 1. local pre-count
         hi, lo, valid = extract_kmers(codes_l, lengths_l, k, canonical)
-        hi, lo = hi.reshape(-1), lo.reshape(-1)
-        ones = valid.reshape(-1).astype(jnp.int32)
-        hi, lo, ones = _sort3(hi, lo, ones)
-        spec_l = _unique_reduce(hi, lo, ones, capacity)
-
-        # 2. bucket by owner device: sort local spectrum by (dev, hi, lo)
-        dev = _hash_dev(spec_l.hi, spec_l.lo, n_dev)
-        pad = (spec_l.hi == SENTINEL) & (spec_l.lo == SENTINEL)
-        dev = jnp.where(pad, n_dev, dev)  # padding sorts last
-        dev, bhi, blo, bcnt = jax.lax.sort(
-            (dev, spec_l.hi, spec_l.lo, spec_l.count), num_keys=3
-        )
-        # position of each entry within its bucket
-        idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-        first_of_dev = jnp.searchsorted(
-            dev, jnp.arange(n_dev + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
-        within = idx - first_of_dev[jnp.clip(dev, 0, n_dev)]
-        overflow = jnp.any((within >= bucket_cap) & (dev < n_dev))
-        # scatter into [n_dev, bucket_cap] buckets
-        tgt = jnp.where(
-            (dev < n_dev) & (within < bucket_cap),
-            dev * bucket_cap + within,
-            n_dev * bucket_cap,
-        )
-        buf_hi = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
-        buf_lo = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
-        buf_cnt = jnp.zeros(n_dev * bucket_cap + 1, jnp.int32)
-        buf_hi = buf_hi.at[tgt].set(bhi)
-        buf_lo = buf_lo.at[tgt].set(blo)
-        buf_cnt = buf_cnt.at[tgt].set(jnp.where(dev < n_dev, bcnt, 0))
-        buf_hi = buf_hi[:-1].reshape(n_dev, bucket_cap)
-        buf_lo = buf_lo[:-1].reshape(n_dev, bucket_cap)
-        buf_cnt = buf_cnt[:-1].reshape(n_dev, bucket_cap)
-
-        # 3. all-to-all: bucket j -> device j
-        buf_hi = jax.lax.all_to_all(buf_hi, READS_AXIS, 0, 0, tiled=False)
-        buf_lo = jax.lax.all_to_all(buf_lo, READS_AXIS, 0, 0, tiled=False)
-        buf_cnt = jax.lax.all_to_all(buf_cnt, READS_AXIS, 0, 0, tiled=False)
-
-        # 4. merge received buckets: exact counts of this device's slice,
-        # compacted to bucket_cap lanes (real slice size ~capacity/n_dev)
-        mh, ml, mc = _sort3(
-            buf_hi.reshape(-1), buf_lo.reshape(-1), buf_cnt.reshape(-1)
-        )
-        slice_spec = _unique_reduce(mh, ml, mc, n_dev * bucket_cap)
-        overflow = overflow | (slice_spec.n > bucket_cap)
-
-        # 5. gather slices, re-sort, reduce into the final capacity
-        gh = jax.lax.all_gather(slice_spec.hi[:bucket_cap], READS_AXIS, axis=0, tiled=True)
-        gl = jax.lax.all_gather(slice_spec.lo[:bucket_cap], READS_AXIS, axis=0, tiled=True)
-        gc = jax.lax.all_gather(slice_spec.count[:bucket_cap], READS_AXIS, axis=0, tiled=True)
-        gh, gl, gc = _sort3(gh, gl, gc)
-        # slices are disjoint: plain slice of the first `capacity` lanes
-        final = Spectrum(
-            hi=gh[:capacity], lo=gl[:capacity], count=gc[:capacity],
-            n=jnp.minimum(
-                (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32),
-                capacity,
-            ),
-        )
-        cap_overflow = (
-            (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32)
-            > capacity
-        )
-        overflow = overflow | cap_overflow
-        return final, overflow
+        return _sharded_tail(hi, lo, valid, n_dev, capacity, bucket_cap)
 
     fn = shard_map(
         local,
@@ -141,6 +75,122 @@ def count_spectrum_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(codes, lengths)
+
+
+def count_spectrum_sharded_packed(
+    words: jnp.ndarray,  # [N, ceil(L/16)] uint32 (io.pack.pack_words)
+    lengths: jnp.ndarray,
+    k: int,
+    capacity: int,
+    mesh: Mesh,
+    canonical: bool = True,
+    bucket_cap: int | None = None,
+    length: int | None = None,
+    mask: jnp.ndarray | None = None,
+) -> tuple[Spectrum, jnp.ndarray]:
+    """count_spectrum_sharded over the 2-bit transfer format (VERDICT
+    r3 item 1) — identical collective structure and output; the packed
+    upload is sharded over the reads axis like the codes were.  `mask`
+    (mid-read invalid positions, io.pack.invalid_mask_words) is only
+    passed for batches that contain them."""
+    n_dev = mesh.devices.size
+    if bucket_cap is None:
+        bucket_cap = max(-(-capacity // n_dev) * 2, 8)
+
+    def local_packed(words_l, lengths_l, *mask_l):
+        hi, lo, valid = extract_kmers_packed(
+            words_l,
+            lengths_l,
+            k,
+            canonical,
+            length,
+            mask_l[0] if mask_l else None,
+        )
+        return _sharded_tail(hi, lo, valid, n_dev, capacity, bucket_cap)
+
+    in_specs = [P(READS_AXIS, None), P(READS_AXIS)]
+    args = [words, lengths]
+    if mask is not None:
+        in_specs.append(P(READS_AXIS, None))
+        args.append(mask)
+    fn = shard_map(
+        local_packed,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
+
+
+def _sharded_tail(hi, lo, valid, n_dev, capacity, bucket_cap):
+    hi, lo = hi.reshape(-1), lo.reshape(-1)
+    ones = valid.reshape(-1).astype(jnp.int32)
+    hi, lo, ones = _sort3(hi, lo, ones)
+    spec_l = _unique_reduce(hi, lo, ones, capacity)
+
+    # 2. bucket by owner device: sort local spectrum by (dev, hi, lo)
+    dev = _hash_dev(spec_l.hi, spec_l.lo, n_dev)
+    pad = (spec_l.hi == SENTINEL) & (spec_l.lo == SENTINEL)
+    dev = jnp.where(pad, n_dev, dev)  # padding sorts last
+    dev, bhi, blo, bcnt = jax.lax.sort(
+        (dev, spec_l.hi, spec_l.lo, spec_l.count), num_keys=3
+    )
+    # position of each entry within its bucket
+    idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    first_of_dev = jnp.searchsorted(
+        dev, jnp.arange(n_dev + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    within = idx - first_of_dev[jnp.clip(dev, 0, n_dev)]
+    overflow = jnp.any((within >= bucket_cap) & (dev < n_dev))
+    # scatter into [n_dev, bucket_cap] buckets
+    tgt = jnp.where(
+        (dev < n_dev) & (within < bucket_cap),
+        dev * bucket_cap + within,
+        n_dev * bucket_cap,
+    )
+    buf_hi = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
+    buf_lo = jnp.full(n_dev * bucket_cap + 1, SENTINEL, jnp.uint32)
+    buf_cnt = jnp.zeros(n_dev * bucket_cap + 1, jnp.int32)
+    buf_hi = buf_hi.at[tgt].set(bhi)
+    buf_lo = buf_lo.at[tgt].set(blo)
+    buf_cnt = buf_cnt.at[tgt].set(jnp.where(dev < n_dev, bcnt, 0))
+    buf_hi = buf_hi[:-1].reshape(n_dev, bucket_cap)
+    buf_lo = buf_lo[:-1].reshape(n_dev, bucket_cap)
+    buf_cnt = buf_cnt[:-1].reshape(n_dev, bucket_cap)
+
+    # 3. all-to-all: bucket j -> device j
+    buf_hi = jax.lax.all_to_all(buf_hi, READS_AXIS, 0, 0, tiled=False)
+    buf_lo = jax.lax.all_to_all(buf_lo, READS_AXIS, 0, 0, tiled=False)
+    buf_cnt = jax.lax.all_to_all(buf_cnt, READS_AXIS, 0, 0, tiled=False)
+
+    # 4. merge received buckets: exact counts of this device's slice,
+    # compacted to bucket_cap lanes (real slice size ~capacity/n_dev)
+    mh, ml, mc = _sort3(
+        buf_hi.reshape(-1), buf_lo.reshape(-1), buf_cnt.reshape(-1)
+    )
+    slice_spec = _unique_reduce(mh, ml, mc, n_dev * bucket_cap)
+    overflow = overflow | (slice_spec.n > bucket_cap)
+
+    # 5. gather slices, re-sort, reduce into the final capacity
+    gh = jax.lax.all_gather(slice_spec.hi[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+    gl = jax.lax.all_gather(slice_spec.lo[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+    gc = jax.lax.all_gather(slice_spec.count[:bucket_cap], READS_AXIS, axis=0, tiled=True)
+    gh, gl, gc = _sort3(gh, gl, gc)
+    # slices are disjoint: plain slice of the first `capacity` lanes
+    final = Spectrum(
+        hi=gh[:capacity], lo=gl[:capacity], count=gc[:capacity],
+        n=jnp.minimum(
+            (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32),
+            capacity,
+        ),
+    )
+    cap_overflow = (
+        (~((gh == SENTINEL) & (gl == SENTINEL))).sum(dtype=jnp.int32)
+        > capacity
+    )
+    overflow = overflow | cap_overflow
+    return final, overflow
 
 
 def count_reads_spectrum_sharded(
@@ -153,17 +203,36 @@ def count_reads_spectrum_sharded(
     batch_reads: int = 1 << 16,
 ) -> tuple[Spectrum, bool]:
     """Host driver for the sharded path: stream read batches through
-    count_spectrum_sharded, merging replicated results batch-to-batch
-    (mirrors ops.count.count_reads_spectrum for the 1-chip path).
+    count_spectrum_sharded_packed, merging replicated results batch-to
+    -batch (mirrors ops.count.count_reads_spectrum for the 1-chip path:
+    2-bit packed uploads, overflow flags fetched async and resolved one
+    batch late so no blocking round-trip sits between batches).
     Returns (spectrum, overflowed)."""
     import numpy as np
 
-    from shannon_tpu.ops.count import merge_spectra_fixed, merge_spectra_sized
+    from shannon_tpu.io.pack import invalid_mask_words, pack_words
+    from shannon_tpu.ops.count import (
+        _overflow_flag,
+        merge_spectra_fixed,
+        merge_spectra_sized,
+    )
 
     n_dev = mesh.devices.size
     n = batch_codes.shape[0]
     total: Spectrum | None = None
     overflowed = False
+    pending: tuple | None = None  # (prev_total, part, ovf, merged_flag)
+
+    def _resolve() -> None:
+        nonlocal total, overflowed, pending
+        if pending is None:
+            return
+        prev_total, part, ovf, mflag = pending
+        pending = None
+        overflowed |= bool(ovf)
+        if mflag is not None and bool(mflag):
+            total = merge_spectra_sized(prev_total, part)
+
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
         codes = batch_codes[s:e]
@@ -177,24 +246,30 @@ def count_reads_spectrum_sharded(
                     codes, ((0, tgt - rows), (0, 0)), constant_values=4
                 )
                 lengths = np.pad(lengths, (0, tgt - rows))
-        part, ovf = count_spectrum_sharded(
-            jnp.asarray(codes), jnp.asarray(lengths), k, capacity, mesh,
-            canonical,
+        words = pack_words(codes)
+        mask = invalid_mask_words(codes, lengths)
+        part, ovf = count_spectrum_sharded_packed(
+            jnp.asarray(words), jnp.asarray(lengths), k, capacity, mesh,
+            canonical, length=codes.shape[1],
+            mask=None if mask is None else jnp.asarray(mask),
         )
-        overflowed |= bool(ovf)
+        ovf.copy_to_host_async()
+        _resolve()
         if total is None:
             total = part
+            pending = (None, part, ovf, None)
         elif total.capacity == part.capacity:
             # fixed-shape merge (one program for the whole run); grow
             # only on overflow — see ops.count.merge_spectra_fixed
             merged = merge_spectra_fixed(total, part)
-            total = (
-                merge_spectra_sized(total, part)
-                if merged.overflowed()
-                else merged
-            )
+            mflag = _overflow_flag(merged.hi)
+            mflag.copy_to_host_async()
+            pending = (total, part, ovf, mflag)
+            total = merged
         else:
+            pending = (None, part, ovf, None)
             total = merge_spectra_sized(total, part)
+    _resolve()
     if total is None:
         from shannon_tpu.ops.kmers import SENTINEL as _S
 

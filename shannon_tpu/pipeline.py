@@ -45,12 +45,15 @@ def _spectrum_device(
     timer: StageTimer | None = None,
 ):
     """Device path: count + correct (+ tip-clip unless clip=False) on
-    TPU; returns the corrected Spectrum (still on device)."""
+    TPU; returns (corrected Spectrum, post-clip ContigArrays or None)
+    — the clip emits the condensed graph as a byproduct (condense once:
+    ops.tipclip.clip_tips_graph), so callers only re-condense when it
+    returns None (clip disabled / cycle fallback)."""
     import time as _time
 
     from shannon_tpu.ops.correction import correct_spectrum
     from shannon_tpu.ops.count import count_reads_spectrum
-    from shannon_tpu.ops.tipclip import clip_tips_spectrum
+    from shannon_tpu.ops.tipclip import clip_tips_graph
 
     import jax
 
@@ -115,14 +118,14 @@ def _spectrum_device(
     if timer:
         timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))
     if not clip:
-        return spec
+        return spec, None
     tc_notes: dict = {}
-    spec = clip_tips_spectrum(
+    spec, ca = clip_tips_graph(
         spec, config, canonical=canonical, notes=tc_notes
     )
     spec.hi.block_until_ready()
     # tip clipping typically removes the majority of (error) k-mers:
-    # re-shrink so the downstream condensation runs at the clipped
+    # re-shrink so any fallback re-condensation runs at the clipped
     # table's tight capacity, not the pre-clip one (measured 17.7s ->
     # 5.3s for the post-clip condensation at 250k reads)
     spec = shrink_spectrum(spec)
@@ -132,7 +135,7 @@ def _spectrum_device(
             tipclip_s=round(_time.perf_counter() - t2, 2),
             **tc_notes,
         )
-    return spec
+    return spec, ca
 
 
 def _graph_device(
@@ -149,9 +152,12 @@ def _graph_device(
 
     from shannon_tpu.ops.condense import build_contig_arrays, to_contig_graph
 
-    spec = _spectrum_device(batch, config, timer=timer)
+    spec, ca = _spectrum_device(batch, config, timer=timer)
     t0 = _time.perf_counter()
-    ca = build_contig_arrays(spec, config.k, canonical=not config.strand_specific)
+    if ca is None:  # clip disabled or cycle fallback: condense here
+        ca = build_contig_arrays(
+            spec, config.k, canonical=not config.strand_specific
+        )
     ca.out_edges.block_until_ready()
     t1 = _time.perf_counter()
     g = to_contig_graph(ca, config.k, config)
@@ -189,13 +195,14 @@ def _thread_device(
 
     import jax.numpy as jnp
 
+    from shannon_tpu.io.pack import invalid_mask_words, pack_words
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.oracle.nodegraph import _lists_to_flat
     from shannon_tpu.ops.thread import (
         pack_thread_outputs,
         paths_to_lists,
         runs_to_flat_paths,
-        thread_reads_device,
+        thread_reads_device_packed,
         unpack_thread_buffer,
     )
 
@@ -226,20 +233,26 @@ def _thread_device(
             ({k: v[:n_rows] for k, v in d.items()}, w_eff, r_eff)
         )
 
+    from shannon_tpu.ops.count import pad_batch_rows
+
     for s in range(0, n, bs):
         e = min(s + bs, n)
-        codes = batch.codes[s:e]
-        lengths = batch.lengths[s:e]
-        if e - s != bs:
-            rows = 1 << max(e - s - 1, 1).bit_length()
-            rows = min(max(rows, 16), bs)
-            if rows > e - s:
-                padn = rows - (e - s)
-                codes = np.pad(codes, ((0, padn), (0, 0)), constant_values=4)
-                lengths = np.pad(lengths, (0, padn))
+        codes, lengths = pad_batch_rows(
+            batch.codes[s:e], batch.lengths[s:e], bs
+        )
+        # 2-bit packed upload (VERDICT r3 item 1): same byte cut as the
+        # counting driver; the mask upload only exists for batches with
+        # mid-read N's
+        words = pack_words(codes)
+        mask = invalid_mask_words(codes, lengths)
         lengths_j = jnp.asarray(lengths)
-        outs = thread_reads_device(
-            jnp.asarray(codes), lengths_j, ca, config.k
+        outs = thread_reads_device_packed(
+            jnp.asarray(words),
+            lengths_j,
+            ca,
+            config.k,
+            length=codes.shape[1],
+            mask=None if mask is None else jnp.asarray(mask),
         )
         W_full = codes.shape[1] - config.k + 1
         R_full = (W_full + 1) // 2 + 1
@@ -605,6 +618,7 @@ def run_pipeline(
         timer.note("ingest", n_reads=batch.n_reads, total_bases=batch.total_bases)
 
     spectrum_npz = out / "spectrum.npz"
+    ca_live = None  # post-clip ContigArrays when the clip ran in-process
     if config.resume and spectrum_npz.exists():
         data = np.load(spectrum_npz)
         keys = data["kmers"]
@@ -616,7 +630,7 @@ def run_pipeline(
             if backend == "device":
                 from shannon_tpu.ops.count import spectrum_from_arrays
                 from shannon_tpu.ops.kmers import hilo_to_int
-                from shannon_tpu.ops.tipclip import clip_tips_spectrum
+                from shannon_tpu.ops.tipclip import clip_tips_graph
 
                 # intermediate checkpoint between counting+correction and
                 # tip clipping: the expensive count phase is not redone if
@@ -626,7 +640,7 @@ def run_pipeline(
                     d = np.load(corrected_npz)
                     spec_dev = spectrum_from_arrays(d["kmers"], d["counts"])
                 else:
-                    spec_dev = _spectrum_device(batch, config, clip=False)
+                    spec_dev, _ = _spectrum_device(batch, config, clip=False)
                     nk0 = int(spec_dev.n)
                     np.savez_compressed(
                         corrected_npz,
@@ -635,7 +649,7 @@ def run_pipeline(
                         ),
                         counts=np.asarray(spec_dev.count[:nk0], np.int64),
                     )
-                spec_dev = clip_tips_spectrum(
+                spec_dev, ca_live = clip_tips_graph(
                     spec_dev, config, canonical=not config.strand_specific
                 )
                 nk = int(spec_dev.n)
@@ -668,10 +682,13 @@ def run_pipeline(
             from shannon_tpu.ops.count import spectrum_from_arrays
 
             with timer.stage("graph"):
-                spec = spectrum_from_arrays(keys, vals)
-                ca = build_contig_arrays(
-                    spec, config.k, canonical=not config.strand_specific
-                )
+                if ca_live is not None:  # clip already condensed it
+                    ca = ca_live
+                else:
+                    spec = spectrum_from_arrays(keys, vals)
+                    ca = build_contig_arrays(
+                        spec, config.k, canonical=not config.strand_specific
+                    )
                 cgraph = to_contig_graph(ca, config.k, config)
             with timer.stage("partition"):
                 from shannon_tpu.parallel.components import device_components

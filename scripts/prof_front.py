@@ -135,7 +135,7 @@ def main():
     ]
     print(f"{'tipclip: out_adj host build':42s} {(time.perf_counter()-t0)*1e3:10.1f} ms")
     t0 = time.perf_counter()
-    doomed = _host_clip_rounds(klen, csum, out_adj, cfg)
+    doomed = _host_clip_rounds(klen, csum, out_adj, cfg).doomed
     print(f"{'tipclip: host clip rounds':42s} {(time.perf_counter()-t0)*1e3:10.1f} ms")
     doomed_pad = np.zeros(ca.node_hi.shape[0], bool)
     doomed_pad[:n] = doomed

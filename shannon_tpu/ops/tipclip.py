@@ -20,6 +20,7 @@ exact integer count sums the device emits (ContigArrays.count_sum).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -31,6 +32,28 @@ from shannon_tpu.ops.correction import _compact
 from shannon_tpu.ops.count import Spectrum
 from shannon_tpu.ops.kmers import SENTINEL
 from shannon_tpu.ops.spectrum import lookup_hilo
+
+
+@dataclass
+class ClipState:
+    """Result of the host clip fixpoint: the doom mask over ORIGINAL
+    contigs plus the full post-clip merge structure (survivor ->
+    member chain in path order, merged klen / count sums, contig
+    adjacency) — enough to materialize the post-clip contig graph
+    WITHOUT re-condensing the k-mer table (VERDICT r3 item 3: the
+    second device condensation was ~30s of the 75s front half at 1M
+    reads).  cycle_merged flags that a merge closed a cycle; the
+    contig boundary of a merged cycle is seed-order dependent while a
+    device re-condensation breaks cycles at their lexicographically
+    smallest k-mer, so callers must fall back to re-condensing then
+    (rare: requires a cycle exposed by a clipped attachment)."""
+
+    doomed: np.ndarray  # [n] bool over original contigs
+    members: dict[int, list[int]]  # survivor -> original cids, chain order
+    kl: dict[int, int]  # survivor -> merged k-mer length
+    cs: dict[int, int]  # survivor -> merged count sum
+    out: dict[int, list[int]]  # survivor -> surviving successor ids
+    cycle_merged: bool
 
 
 def _adjacency_lists(out_e: np.ndarray, n: int) -> list[list[int]]:
@@ -56,13 +79,13 @@ def _host_clip_rounds(
     csum: np.ndarray,
     out_adj: list[list[int]],
     config,
-) -> np.ndarray:
-    """Iterated contig-level tip clipping: returns a bool mask over the
-    ORIGINAL contigs (True = remove its k-mers).  Mirrors oracle
-    clip_tips exactly: per round, doom short isolated / dominated
-    dead-end / popped-bubble contigs (float32 comparisons), then merge
-    the chains the removals expose (klen and count sums add), repeat to
-    fixpoint or correction_rounds."""
+) -> ClipState:
+    """Iterated contig-level tip clipping: returns the ClipState (doom
+    mask over the ORIGINAL contigs + merged survivor structure).
+    Mirrors oracle clip_tips exactly: per round, doom short isolated /
+    dominated dead-end / popped-bubble contigs (float32 comparisons),
+    then merge the chains the removals expose (klen and count sums
+    add), repeat to fixpoint or correction_rounds."""
     tip_klen = config.tip_klen_effective
     ratio = np.float32(config.sibling_ratio)
     err_klen = config.error_klen_effective
@@ -132,6 +155,7 @@ def _host_clip_rounds(
     # attrs and final topology do not depend on merge order).  The
     # full-rescan version measured 37.5s at 3M contigs.
     changed: set[int] = set()
+    cycle_merged = False
     for rnd in range(config.correction_rounds):
         if rnd == 0:
             cand = out
@@ -181,6 +205,8 @@ def _host_clip_rounds(
             while u in out and len(out[u]) == 1:
                 v = out[u][0]
                 if v == u or v not in inc or len(inc[v]) != 1:
+                    if v == u and len(members[u]) > 1:
+                        cycle_merged = True  # merge closed a cycle
                     break
                 kl[u] += kl[v]
                 cs[u] += cs[v]
@@ -196,7 +222,14 @@ def _host_clip_rounds(
                     else ratio
                 )
                 changed.add(u)
-    return doomed_mask
+    return ClipState(
+        doomed=doomed_mask,
+        members=members,
+        kl=kl,
+        cs=cs,
+        out=out,
+        cycle_merged=cycle_merged,
+    )
 
 
 @jax.jit
@@ -215,29 +248,210 @@ def _drop_contigs(
     return _compact(spec, ~entry_doomed & ~pad)
 
 
-def clip_tips_spectrum(
+@partial(jax.jit, static_argnames=("out_cap",))
+def _device_clip_remap(
+    ca: ContigArrays,
+    new_cid_d: jnp.ndarray,  # [n_pad] int32 per ORIGINAL contig (-1 doomed)
+    off_shift_d: jnp.ndarray,  # [n_pad] int32 per original contig
+    hlane_orig: jnp.ndarray,  # [m_pad] int32 OLD node lane of new head
+    tlane_orig: jnp.ndarray,  # [m_pad] int32 OLD node lane of new tail
+    new_klen: jnp.ndarray,  # [m_pad] int32
+    new_csum: jnp.ndarray,  # [m_pad] int32
+    rc_new: jnp.ndarray,  # [m_pad] int32
+    out_e_new: jnp.ndarray,  # [4, m_pad] int32
+    n_new: jnp.ndarray,  # [] int32
+    out_cap: int,
+) -> ContigArrays:
+    """Apply the host-computed clip remap to the pre-clip node table in
+    ONE device program: renumber node (cid, offset) to the merged
+    contigs, drop doomed nodes, and front-compact the (still sorted)
+    table to out_cap lanes via a single position-key sort — the
+    condense-lite replacing the full re-condensation (nodes stage +
+    8 probes + pointer doubling + reduce sorts) the pipeline used to
+    pay a second time."""
+    C2 = ca.node_hi.shape[0]
+    npad = new_cid_d.shape[0]
+    oc = jnp.clip(ca.node_cid, 0, npad - 1)
+    nc = jnp.where(ca.node_cid >= 0, new_cid_d[oc], -1)
+    keep = nc >= 0
+    n_keep = keep.sum(dtype=jnp.int32)
+    new_off = jnp.where(keep, ca.node_off + off_shift_d[oc], -1)
+    # old lane -> compacted lane (valid at kept lanes)
+    new_lane = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    hl = jnp.where(
+        hlane_orig >= 0, new_lane[jnp.clip(hlane_orig, 0, C2 - 1)], -1
+    )
+    tl = jnp.where(
+        tlane_orig >= 0, new_lane[jnp.clip(tlane_orig, 0, C2 - 1)], -1
+    )
+    # front-compact kept nodes (dropping preserves (hi, lo) sortedness)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (C2, 1), 0)[:, 0]
+    MSB = jnp.uint32(0x80000000)
+    skey = jnp.where(keep, iota, iota | MSB)
+    _, c_hi, c_lo, c_cnt, c_cid, c_off = jax.lax.sort(
+        (skey, ca.node_hi, ca.node_lo, ca.node_count, nc, new_off),
+        num_keys=1,
+    )
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (out_cap, 1), 0)[:, 0]
+    nvalid = lidx < n_keep
+    node_hi = jnp.where(nvalid, c_hi[:out_cap], SENTINEL)
+    node_lo = jnp.where(nvalid, c_lo[:out_cap], SENTINEL)
+    node_count = jnp.where(nvalid, c_cnt[:out_cap], 0)
+    node_cid = jnp.where(nvalid, c_cid[:out_cap], -1)
+    node_off = jnp.where(nvalid, c_off[:out_cap], -1)
+    abundance = jnp.where(
+        new_klen > 0,
+        new_csum.astype(jnp.float32) / new_klen.astype(jnp.float32),
+        0.0,
+    )
+    return ContigArrays(
+        node_hi=node_hi,
+        node_lo=node_lo,
+        node_count=node_count,
+        node_cid=node_cid,
+        node_off=node_off,
+        klen=new_klen,
+        abundance=abundance,
+        count_sum=new_csum,
+        head_lane=hl,
+        tail_lane=tl,
+        out_edges=out_e_new,
+        rc_pair=rc_new,
+        n_nodes=n_keep,
+        n_contigs=n_new,
+    )
+
+
+def _remap_clipped(
+    ca: ContigArrays,
+    st: ClipState,
+    klen_orig: np.ndarray,
+    n2: int,
+    k: int,
+) -> ContigArrays:
+    """Host half of the clip remap: flatten the survivor merge
+    structure into per-original-contig (new cid, offset shift) arrays
+    and per-new-contig (klen, count sum, head/tail lane, rc twin,
+    edges), then run _device_clip_remap.  New contigs are numbered by
+    ascending leader original id (leaders are head-rank ordered, so
+    numbering stays lexicographic-ish like a fresh condensation)."""
+    from shannon_tpu.ops.count import tight_capacity
+
+    n = len(klen_orig)
+    survivors = sorted(st.members)
+    m = len(survivors)
+    sizes = np.fromiter(
+        (len(st.members[u]) for u in survivors), np.int64, m
+    )
+    order = np.fromiter(
+        (c for u in survivors for c in st.members[u]),
+        np.int64,
+        int(sizes.sum()),
+    )
+    gstarts = np.zeros(m + 1, np.int64)
+    np.cumsum(sizes, out=gstarts[1:])
+    gidx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+    kl_ord = klen_orig[order].astype(np.int64)
+    cum_incl = np.cumsum(kl_ord)
+    group_before = np.concatenate([[0], cum_incl])[gstarts[:-1]]
+    off_in_group = (cum_incl - kl_ord) - group_before[gidx]
+
+    new_cid = np.full(n, -1, np.int32)
+    new_cid[order] = gidx
+    off_shift = np.zeros(n, np.int32)
+    off_shift[order] = off_in_group
+    first_member = order[gstarts[:-1]]
+    last_member = order[gstarts[1:] - 1]
+
+    m_pad = tight_capacity(m, minimum=1 << 15)
+    n_pad = tight_capacity(n, minimum=1 << 15)
+    new_cid_p = np.full(n_pad, -1, np.int32)
+    new_cid_p[:n] = new_cid
+    off_shift_p = np.zeros(n_pad, np.int32)
+    off_shift_p[:n] = off_shift
+
+    new_klen = np.zeros(m_pad, np.int32)
+    new_klen[:m] = [st.kl[u] for u in survivors]
+    new_csum = np.zeros(m_pad, np.int32)
+    new_csum[:m] = [st.cs[u] for u in survivors]
+
+    hl_old = np.asarray(ca.head_lane[:n])
+    tl_old = np.asarray(ca.tail_lane[:n])
+    hlane = np.full(m_pad, -1, np.int32)
+    hlane[:m] = hl_old[first_member]
+    tlane = np.full(m_pad, -1, np.int32)
+    tlane[:m] = tl_old[last_member]
+
+    # rc twin: the new contig beginning with revcomp(new tail k-mer) =
+    # the group whose FIRST member is rc_pair[last member]; fall back to
+    # self otherwise (mirrors _reduce_stage's rc_is_head check)
+    rc_orig = np.asarray(ca.rc_pair[:n]).astype(np.int64)
+    rc_new = np.arange(m_pad, dtype=np.int32)
+    cand_orig = rc_orig[last_member]
+    cand_new = new_cid[cand_orig]
+    ok = (cand_new >= 0) & (
+        first_member[np.clip(cand_new, 0, max(m - 1, 0))] == cand_orig
+    )
+    rc_new[:m] = np.where(ok, cand_new, np.arange(m, dtype=np.int32))
+
+    out_e = np.full((4, m_pad), -1, np.int32)
+    for i, u in enumerate(survivors):
+        for j, v in enumerate(sorted(set(st.out[u]))[:4]):
+            out_e[j, i] = new_cid[v]
+
+    # matches what build_contig_arrays(shrunk clipped spectrum) would
+    # allocate, so downstream program shapes (threading lookups) are
+    # unchanged; capped at the old table size (strand-specific tables
+    # are single-orientation: C2 == C)
+    out_cap = min(2 * tight_capacity(n2), int(ca.node_hi.shape[0]))
+    return _device_clip_remap(
+        ca,
+        jnp.asarray(new_cid_p),
+        jnp.asarray(off_shift_p),
+        jnp.asarray(hlane),
+        jnp.asarray(tlane),
+        jnp.asarray(new_klen),
+        jnp.asarray(new_csum),
+        jnp.asarray(rc_new),
+        jnp.asarray(out_e),
+        jnp.int32(m),
+        out_cap,
+    )
+
+
+def clip_tips_graph(
     spec: Spectrum, config, canonical: bool = True, notes: dict | None = None
-) -> Spectrum:
-    """Iterated tip clipping to fixpoint, matching oracle clip_tips:
-    one device condensation + host contig-level rounds + one device
-    compaction.  `notes`, if given, receives the substage wall times
-    (condense/fetch/rounds/drop) for the pipeline's StageTimer."""
+) -> tuple[Spectrum, ContigArrays | None]:
+    """Iterated tip clipping to fixpoint, matching oracle clip_tips,
+    returning BOTH the clipped spectrum and the post-clip contig graph
+    (VERDICT r3 item 3: condense once, not twice — the host clip rounds
+    already computed every surviving merged chain, so the pipeline must
+    not re-condense the clipped table from scratch).
+
+    Returns (clipped spectrum, ContigArrays or None).  None means the
+    caller must build_contig_arrays itself: tip clipping disabled, or
+    a host merge closed a cycle (contig boundaries of merged cycles
+    are seed-order dependent; a re-condensation breaks them at their
+    lexicographically smallest k-mer like the oracle — rare, and
+    correctness beats the saved pass).  `notes`, if given, receives
+    substage wall times (condense/fetch/rounds/drop/remap) for the
+    pipeline's StageTimer."""
     import time as _time
 
     tip_klen = config.tip_klen_effective
     if tip_klen < 0:
-        return spec
+        return spec, None
     t0 = _time.perf_counter()
     ca = build_contig_arrays(spec, config.k, canonical)
     n = int(ca.n_contigs)
     t1 = _time.perf_counter()
     if n == 0:
-        return spec
+        return spec, ca
     klen = np.asarray(ca.klen[:n])
     csum = np.asarray(ca.count_sum[:n])
     out_adj = _adjacency_lists(np.asarray(ca.out_edges[:, :n]), n)
     t2 = _time.perf_counter()
-    doomed = _host_clip_rounds(klen, csum, out_adj, config)
+    st = _host_clip_rounds(klen, csum, out_adj, config)
     t3 = _time.perf_counter()
     if notes is not None:
         notes.update(
@@ -246,11 +460,26 @@ def clip_tips_spectrum(
             tc_rounds_s=round(t3 - t2, 2),
             tc_contigs=n,
         )
-    if not doomed.any():
-        return spec
+    if not st.doomed.any():
+        return spec, ca
     doomed_pad = np.zeros(ca.node_hi.shape[0], bool)
-    doomed_pad[:n] = doomed
+    doomed_pad[:n] = st.doomed
     out = _drop_contigs(spec, ca, jnp.asarray(doomed_pad))
+    t4 = _time.perf_counter()
     if notes is not None:
-        notes["tc_drop_s"] = round(_time.perf_counter() - t3, 2)
+        notes["tc_drop_s"] = round(t4 - t3, 2)
+    if st.cycle_merged:
+        return out, None
+    ca2 = _remap_clipped(ca, st, klen, int(out.n), config.k)
+    if notes is not None:
+        notes["tc_remap_s"] = round(_time.perf_counter() - t4, 2)
+    return out, ca2
+
+
+def clip_tips_spectrum(
+    spec: Spectrum, config, canonical: bool = True, notes: dict | None = None
+) -> Spectrum:
+    """Spectrum-only view of clip_tips_graph (kept for callers that
+    only need the clipped k-mer table, e.g. parity tests)."""
+    out, _ca = clip_tips_graph(spec, config, canonical, notes)
     return out

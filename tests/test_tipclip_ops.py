@@ -81,6 +81,99 @@ def test_tipclip_disabled(rng):
     assert dev == orc  # both no-ops beyond correction
 
 
+def _graph_fingerprint(ca, k, cfg):
+    """Numbering-independent structural fingerprint of a contig graph:
+    multiset of (seq, abundance, sorted successor seqs, rc twin seq)."""
+    from shannon_tpu.ops.condense import to_contig_graph
+
+    g = to_contig_graph(ca, k, cfg)
+    seqs = [c.seq for c in g.contigs]
+    return sorted(
+        (
+            seqs[i],
+            round(g.contigs[i].abundance, 5),
+            tuple(sorted(seqs[j] for j in g.out_edges[i])),
+            seqs[g.rc_pair[i]],
+        )
+        for i in range(len(seqs))
+    )
+
+
+@pytest.mark.parametrize("error_rate", [0.01, 0.03])
+def test_clip_remap_matches_recondensation(rng, error_rate):
+    """VERDICT r3 item 3 (condense once): the ContigArrays that
+    clip_tips_graph assembles from the host clip state must be
+    structurally identical to a fresh device condensation of the
+    clipped spectrum — same contigs, abundances, edges, rc pairing,
+    and same node-level (kmer -> contig, offset) mapping."""
+    from shannon_tpu.ops.condense import build_contig_arrays
+    from shannon_tpu.ops.count import shrink_spectrum
+    from shannon_tpu.ops.tipclip import clip_tips_graph
+
+    ts = simulate_transcripts(rng, n=3, length=400) + simulate_isoforms(
+        rng, exon_length=150
+    )
+    reads = sample_reads(
+        rng, ts, abundances=[1, 3, 2, 4, 1], coverage=25, read_length=70,
+        error_rate=error_rate,
+    )
+    cfg = AssemblyConfig(k=21)
+    b = pack_reads(reads, pad_length=70)
+    spec = count_spectrum(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), cfg.k, 1 << 16
+    )
+    spec = correct_spectrum(
+        spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
+        cfg.correction_rounds, True,
+    )
+    spec2, ca_remap = clip_tips_graph(spec, cfg, canonical=True)
+    assert ca_remap is not None, "expected the fast remap path"
+    ca_ref = build_contig_arrays(shrink_spectrum(spec2), cfg.k, True)
+    assert _graph_fingerprint(ca_remap, cfg.k, cfg) == _graph_fingerprint(
+        ca_ref, cfg.k, cfg
+    )
+    # node-level equality: same sorted (hi, lo) table, and each entry
+    # maps into the same contig CONTENT at the same offset
+    n_keep = int(ca_remap.n_nodes)
+    assert n_keep == int(ca_ref.n_nodes)
+    for fld in ("node_hi", "node_lo", "node_count", "node_off"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ca_remap, fld)[:n_keep]),
+            np.asarray(getattr(ca_ref, fld)[:n_keep]),
+            err_msg=fld,
+        )
+    from shannon_tpu.ops.condense import contig_sequences
+
+    seq_remap = contig_sequences(ca_remap, cfg.k)
+    seq_ref = contig_sequences(ca_ref, cfg.k)
+    cid_map_remap = np.asarray(ca_remap.node_cid[:n_keep])
+    cid_map_ref = np.asarray(ca_ref.node_cid[:n_keep])
+    assert [seq_remap[c] for c in cid_map_remap] == [
+        seq_ref[c] for c in cid_map_ref
+    ]
+
+
+def test_clip_remap_skipped_when_nothing_doomed(rng):
+    """Error-free input dooms nothing: clip_tips_graph must return the
+    pre-clip ContigArrays unchanged (no remap program minted)."""
+    from shannon_tpu.ops.tipclip import clip_tips_graph
+
+    ts = simulate_transcripts(rng, n=2, length=250)
+    reads = sample_reads(rng, ts, coverage=20, read_length=60, error_rate=0.0)
+    cfg = AssemblyConfig(k=19)
+    b = pack_reads(reads, pad_length=64)
+    spec = count_spectrum(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths), cfg.k, 1 << 14
+    )
+    spec = correct_spectrum(
+        spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
+        cfg.correction_rounds, True,
+    )
+    spec2, ca = clip_tips_graph(spec, cfg, canonical=True)
+    assert ca is not None
+    assert spec2.to_dict() == spec.to_dict()
+
+
 def test_error_branch_ratio_pops_low_coverage_bubble(rng):
     """A single-substitution bubble at coverage 4 survives the lax
     sibling_ratio (1 >= 0.1*4) but is popped by error_branch_ratio

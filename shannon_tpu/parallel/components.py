@@ -45,27 +45,40 @@ def device_components(ca) -> list[list[int]]:
 
 
 def _subgraph(
-    g: NodeGraph, node_ids: list[int], path_idx: list[int]
+    g: NodeGraph, node_ids: list[int], path_idx: np.ndarray
 ) -> NodeGraph:
     """Induced subgraph over node_ids with the given evidence paths,
-    ids remapped to dense [0, len(node_ids))."""
-    remap = {v: i for i, v in enumerate(node_ids)}
+    ids remapped to dense [0, len(node_ids)).
+
+    Path selection + remap is pure array work on the flat path storage
+    (VERDICT r3 item 4: the old per-element Python remap over the lazy
+    g.paths list view was the bulk of the 24.6s of unattributed
+    assembly time at 1M reads); only the per-node adjacency lists stay
+    Python (they are component-local and tiny)."""
+    remap_arr = np.full(len(g.nodes), -1, np.int64)
+    remap_arr[node_ids] = np.arange(len(node_ids), dtype=np.int64)
+    remap_l = remap_arr.tolist()
     nodes = [
         Node(
             seq=g.nodes[v].seq,
             abundance=g.nodes[v].abundance,
             klen=g.nodes[v].klen,
-            out=[remap[w] for w in g.nodes[v].out],
-            inc=[remap[w] for w in g.nodes[v].inc],
+            out=[remap_l[w] for w in g.nodes[v].out],
+            inc=[remap_l[w] for w in g.nodes[v].inc],
         )
         for v in node_ids
     ]
-    weights = g.path_weight_list()
-    sub = NodeGraph(k=g.k, nodes=nodes, paths=[])
-    sub.set_paths(
-        [[remap[x] for x in g.paths[i]] for i in path_idx],
-        [weights[i] for i in path_idx],
+    flat, offs, weights = g.flat_paths()
+    pi = np.asarray(path_idx, np.int64)
+    lens = np.diff(offs)[pi]
+    noffs = np.zeros(len(pi) + 1, np.int64)
+    np.cumsum(lens, out=noffs[1:])
+    src = np.repeat(offs[:-1][pi], lens) + (
+        np.arange(int(noffs[-1]), dtype=np.int64)
+        - np.repeat(noffs[:-1], lens)
     )
+    sub = NodeGraph(k=g.k, nodes=nodes, paths=[])
+    sub.set_paths_flat(remap_arr[flat[src]], noffs, weights[pi])
     return sub
 
 
@@ -90,26 +103,50 @@ def assemble_components(
 
     from shannon_tpu.ops.partition import bucket_components
 
+    t_sched0 = time.perf_counter()
     # component id per node -> per path (a path never leaves its
-    # component: every step follows an edge)
-    comp_of: dict[int, int] = {}
-    for ci, comp in enumerate(comps):
-        for v in comp:
-            comp_of[v] = ci
-    paths_of_comp: dict[int, list[int]] = {}
-    for pi, p in enumerate(g.paths):
-        ci = comp_of.get(p[0])
-        if ci is not None:
-            paths_of_comp.setdefault(ci, []).append(pi)
+    # component: every step follows an edge) — vectorized over the flat
+    # path storage (VERDICT r3 item 4)
+    n_nodes = len(g.nodes)
+    comp_of = np.full(n_nodes, -1, np.int64)
+    comp_sizes = np.fromiter((len(c) for c in comps), np.int64, len(comps))
+    all_members = np.fromiter(
+        (v for c in comps for v in c), np.int64, int(comp_sizes.sum())
+    )
+    comp_of[all_members] = np.repeat(
+        np.arange(len(comps), dtype=np.int64), comp_sizes
+    )
+    flat, offs, _w = g.flat_paths()
+    n_paths = len(offs) - 1
+    if n_paths:
+        first_node = flat[offs[:-1]]
+        path_comp = comp_of[first_node]
+        p_order = np.argsort(path_comp, kind="stable")  # path order kept
+        comp_counts = np.bincount(
+            path_comp[path_comp >= 0], minlength=len(comps)
+        )
+        comp_pstart = np.zeros(len(comps) + 1, np.int64)
+        np.cumsum(comp_counts, out=comp_pstart[1:])
+        p_sorted = p_order[np.argsort(path_comp[p_order] < 0, kind="stable")]
+        # p_sorted[comp_pstart[c]:comp_pstart[c+1]] = path ids of comp c
+    else:
+        comp_pstart = np.zeros(len(comps) + 1, np.int64)
+        p_sorted = np.empty(0, np.int64)
 
     transcripts: list[Transcript] = []
     n_mb = n_sf = 0
     truncated = False
-    phase_s = {"multibridge": 0.0, "sparseflow": 0.0, "enumerate": 0.0}
+    phase_s = {
+        "schedule": 0.0,
+        "subgraph": 0.0,
+        "multibridge": 0.0,
+        "sparseflow": 0.0,
+        "enumerate": 0.0,
+    }
 
     # fast path: single-node, edge-free components emit directly
     trivial: list[int] = []
-    complex_comps: list[list[int]] = []
+    complex_comps: list[int] = []
     for ci, comp in enumerate(comps):
         v = comp[0]
         if (
@@ -128,14 +165,25 @@ def assemble_components(
     # as one merged subgraph (components stay independent inside it)
     sizes = [len(comps[ci]) for ci in complex_comps]
     buckets = bucket_components(sizes, bucket_edges)
+    phase_s["schedule"] += time.perf_counter() - t_sched0
     for edge in sorted(buckets, key=lambda e: (e == 0, e)):
         members = buckets[edge]
+        ts0 = time.perf_counter()
         node_ids = [v for m in members for v in comps[complex_comps[m]]]
-        path_idx = [
-            i
-            for m in members
-            for i in paths_of_comp.get(complex_comps[m], [])
-        ]
+        path_idx = (
+            np.concatenate(
+                [
+                    p_sorted[
+                        comp_pstart[complex_comps[m]] : comp_pstart[
+                            complex_comps[m] + 1
+                        ]
+                    ]
+                    for m in members
+                ]
+            )
+            if members
+            else np.empty(0, np.int64)
+        )
         sub = _subgraph(g, node_ids, path_idx)
         t0 = time.perf_counter()
         n_mb += multibridge(sub, config)
@@ -143,6 +191,7 @@ def assemble_components(
         n_sf += sparse_flow(sub, config, solver=solver)
         t2 = time.perf_counter()
         ts, tr = enumerate_transcripts(sub, config)
+        phase_s["subgraph"] += t0 - ts0
         phase_s["multibridge"] += t1 - t0
         phase_s["sparseflow"] += t2 - t1
         phase_s["enumerate"] += time.perf_counter() - t2

@@ -488,8 +488,17 @@ def assemble(
 
     with timer.stage("assembly"):
         if backend == "device":
+            import time as _time
+
+            t0 = _time.perf_counter()
             g = NodeGraph.from_contig_graph(cgraph)
+            t1 = _time.perf_counter()
             g.set_paths_flat(*evidence)
+            timer.note(
+                "assembly",
+                graph_build_s=round(t1 - t0, 3),
+                evidence_s=round(_time.perf_counter() - t1, 3),
+            )
         else:
             g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
         if backend == "device":
@@ -711,8 +720,17 @@ def run_pipeline(
                 )
         with timer.stage("assembly"):
             if backend == "device":
+                import time as _time
+
+                t0 = _time.perf_counter()
                 g = NodeGraph.from_contig_graph(cgraph)
+                t1 = _time.perf_counter()
                 g.set_paths_flat(*evidence)
+                timer.note(
+                    "assembly",
+                    graph_build_s=round(t1 - t0, 3),
+                    evidence_s=round(_time.perf_counter() - t1, 3),
+                )
             else:
                 g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
             if backend == "device":

@@ -113,7 +113,10 @@ def main() -> None:
     # repeat (the r3 differencing estimator was noise-prone: repeats
     # of the same measurement spread 30-150ms under tunnel
     # congestion).
+    distinct_kmers_batch = 0
+
     def _count_run(i0: int) -> float:
+        nonlocal distinct_kmers_batch
         t0 = time.perf_counter()
         ns = []
         for i in range(i0, i0 + ITERS):
@@ -125,7 +128,9 @@ def main() -> None:
                 count_spectrum_packed(w, l, K, CAPACITY, length=READ_LEN).n
             )
         int(jnp.stack(ns).sum())  # force the chain
-        return (time.perf_counter() - t0) / ITERS
+        dt_ = (time.perf_counter() - t0) / ITERS
+        distinct_kmers_batch = int(ns[0])  # post-timing fetch
+        return dt_
 
     _count_run(0)  # warm-up: compile + bring-up, fetch-forced
     dt = sorted(
@@ -199,7 +204,7 @@ def main() -> None:
                     "baseline_reads_per_s": round(py_reads_s, 1),
                     "batch_ms": round(dt * 1e3, 2),
                     "n_reads_batch": N_READS,
-                    "distinct_kmers": int(spec.n),
+                    "distinct_kmers": distinct_kmers_batch,
                 },
                 "k": K,
                 "read_len": READ_LEN,

@@ -1,5 +1,6 @@
-"""2-process `jax.distributed` smoke test (CPU backend) — VERDICT r2
-item 3 / SURVEY.md §8 M5, BASELINE row 3.
+"""2-process `jax.distributed` smoke test (CPU backend) — SURVEY.md §8
+M5, BASELINE row 3; extended per VERDICT r3 item 2 to cover the FULL
+pipeline, FASTA to FASTA.
 
 Proves the multi-process branch actually executes end-to-end:
 
@@ -12,7 +13,13 @@ Proves the multi-process branch actually executes end-to-end:
   * the sharded count (`count_spectrum_sharded`, hash all_to_all +
     merge) runs over the 2-process global mesh;
   * both processes assert the replicated merged spectrum equals the
-    single-process oracle spectrum of the whole file.
+    single-process oracle spectrum of the whole file;
+  * then the FULL `run_pipeline` runs multi-process (global-mesh packed
+    counting -> per-host graph -> per-host threading of the local reads
+    -> `gather_evidence` all-gather -> deterministic back half), and
+    BOTH processes assert transcript-set equality (up to RC) with the
+    single-process oracle assembly of the whole read set; process 0's
+    written transcripts.fasta is checked by the parent too.
 
 Parent mode (no args): simulates the dataset, launches the pair,
 collects results, writes MULTIHOST_SMOKE.json at the repo root.
@@ -93,6 +100,30 @@ def child() -> None:
     )
     assert np.array_equal(cnts, exp["counts"]), f"proc {pid}: counts differ"
 
+    # ---- phase 2: FULL pipeline, FASTA to FASTA (VERDICT r3 item 2)
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.io.dna import revcomp_str
+    from shannon_tpu.pipeline import run_pipeline
+
+    out_dir = Path(os.environ["SMOKE_OUT"]) / "pipeline_out"
+    cfg = AssemblyConfig(
+        k=K,
+        kmer_capacity=1 << 15,
+        out_dir=str(out_dir),
+        read_pad_length=PAD,
+        min_transcript_length=200,
+    )
+    res = run_pipeline(cfg, single=fasta, backend="device")
+    got = {min(t.seq, revcomp_str(t.seq)) for t in res.transcripts}
+    exp_t = set(
+        json.loads(Path(os.environ["SMOKE_EXPECTED_T"]).read_text())
+    )
+    assert got == exp_t, (
+        f"proc {pid}: multi-process transcript set != single-process "
+        f"oracle ({len(got)} vs {len(exp_t)}; "
+        f"missing {len(exp_t - got)}, extra {len(got - exp_t)})"
+    )
+
     Path(os.environ["SMOKE_OUT"], f"ok{pid}.json").write_text(
         json.dumps(
             {
@@ -101,14 +132,24 @@ def child() -> None:
                 "local_reads": int(n_local),
                 "byte_range": [int(lo), int(hi)],
                 "n_kmers": n,
+                "n_transcripts": len(res.transcripts),
             }
         )
     )
-    print(f"child {pid}: OK ({n_local} local reads, {n} kmers)", flush=True)
+    print(
+        f"child {pid}: OK ({n_local} local reads, {n} kmers, "
+        f"{len(res.transcripts)} transcripts)",
+        flush=True,
+    )
 
 
 def parent() -> None:
+    import shutil
+
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.io.dna import revcomp_str
     from shannon_tpu.io.fastx import write_fasta
+    from shannon_tpu.oracle import assemble_oracle
     from shannon_tpu.oracle.counting import count_kmers
     from shannon_tpu.sim import sample_reads, simulate_transcripts
 
@@ -116,6 +157,7 @@ def parent() -> None:
     work.mkdir(exist_ok=True)
     for stale in work.glob("ok*.json"):
         stale.unlink()
+    shutil.rmtree(work / "pipeline_out", ignore_errors=True)
     rng = np.random.default_rng(5)
     ts = simulate_transcripts(rng, n=20, length=600)
     reads = sample_reads(rng, ts, coverage=8.0, read_length=60,
@@ -131,6 +173,14 @@ def parent() -> None:
     order = np.argsort(keys)
     expected = work / "expected.npz"
     np.savez(expected, kmers=keys[order], counts=vals[order])
+
+    # single-process oracle assembly of the WHOLE read set = the
+    # transcript-parity target for the 2-process pipeline (device ==
+    # oracle is pinned by the test suite)
+    oracle_res = assemble_oracle(reads, AssemblyConfig(k=K))
+    expected_t = sorted(oracle_res.canonical_set())
+    expected_t_path = work / "expected_transcripts.json"
+    expected_t_path.write_text(json.dumps(expected_t))
 
     with socket.socket() as s:  # free localhost port
         s.bind(("localhost", 0))
@@ -149,6 +199,7 @@ def parent() -> None:
         "SMOKE_ROLE": "child",
         "SMOKE_FASTA": str(fasta),
         "SMOKE_EXPECTED": str(expected),
+        "SMOKE_EXPECTED_T": str(expected_t_path),
         "SMOKE_OUT": str(work),
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
@@ -183,18 +234,38 @@ def parent() -> None:
         if mp.exists():
             markers.append(json.loads(mp.read_text()))
     ok = ok and len(markers) == 2
+
+    # parent-side check of the artifact process 0 wrote: the one
+    # transcripts.fasta of the multi-process run equals the oracle set
+    fasta_out = work / "pipeline_out" / "transcripts.fasta"
+    fasta_parity = False
+    if fasta_out.exists():
+        from shannon_tpu.io.fastx import read_fastx
+
+        got = {
+            min(seq, revcomp_str(seq)) for _h, seq in read_fastx(fasta_out)
+        }
+        fasta_parity = got == set(expected_t)
+    ok = ok and fasta_parity
     result = {
         "ok": ok,
         "wall_s": round(time.perf_counter() - t0, 1),
         "n_reads": len(reads),
         "n_kmers": int(len(keys)),
+        "n_transcripts_expected": len(expected_t),
+        "fasta_parity": fasta_parity,
         "backend": "cpu (2 localhost processes, jax.distributed)",
         "processes": markers,
         "what": (
             "jax.distributed.initialize x2 -> per-process byte-range "
             "FASTA ingest (native pack_file_range) -> sharded count "
             "(hash all_to_all) over the 2-process global mesh -> "
-            "replicated merged spectrum == single-process oracle"
+            "replicated merged spectrum == single-process oracle; then "
+            "FULL run_pipeline multi-process (per-host threading -> "
+            "evidence all-gather -> deterministic back half) -> "
+            "transcript-set parity with the single-process oracle "
+            "assembly, asserted in both children AND on the "
+            "transcripts.fasta process 0 wrote"
         ),
     }
     out_path = Path(os.environ.get("SMOKE_RESULT", REPO / "MULTIHOST_SMOKE.json"))

@@ -88,7 +88,7 @@ def pack_words(codes: np.ndarray) -> np.ndarray:
 
 
 def invalid_mask_words(
-    codes: np.ndarray, lengths: np.ndarray
+    codes: np.ndarray, lengths: np.ndarray, force: bool = False
 ) -> np.ndarray | None:
     """Bit-packed mid-read-invalid mask for a packed batch: bit (j % 32)
     of word j // 32 is set where codes[i, j] >= 4 AND j < lengths[i]
@@ -96,13 +96,15 @@ def invalid_mask_words(
     loses; tail padding is recovered from `lengths` alone).  Returns
     None when the batch has no mid-read invalid bases (the overwhelming
     common case), so the mask upload and its separate device program
-    are only paid when real N's exist."""
+    are only paid when real N's exist.  force=True always returns the
+    mask (multi-process callers need uniform program structure across
+    hosts)."""
     n, L = codes.shape
     inread = np.arange(L, dtype=np.int32)[None, :] < np.asarray(
         lengths, np.int32
     )[:, None]
     bad = (codes >= 4) & inread
-    if not bad.any():
+    if not force and not bad.any():
         return None
     W = (L + 31) // 32
     padded = np.zeros((n, W * 32), dtype=np.uint32)

@@ -62,7 +62,29 @@ def _spectrum_device(
     canonical = not config.strand_specific
     n_dev = config.n_devices or len(jax.devices())
     n_dev = min(n_dev, len(jax.devices()))
-    if n_dev > 1:
+    if jax.process_count() > 1:
+        # cross-host counting over the global mesh, then every host
+        # continues on a local copy of the replicated spectrum (the
+        # graph stages are deterministic, so the per-host recomputation
+        # is redundant by design; evidence re-joins at gather_evidence)
+        from shannon_tpu.parallel.mesh import make_mesh
+        from shannon_tpu.parallel.multihost import (
+            count_reads_spectrum_multihost,
+            localize_spectrum,
+        )
+
+        spec, overflowed = count_reads_spectrum_multihost(
+            batch.codes,
+            batch.lengths,
+            k=config.k,
+            capacity=config.kmer_capacity,
+            mesh=make_mesh(),
+            canonical=canonical,
+            batch_reads=config.batch_reads,
+        )
+        spec = localize_spectrum(spec)
+        overflowed = overflowed or spec.overflowed()
+    elif n_dev > 1:
         from shannon_tpu.parallel.distributed import (
             count_reads_spectrum_sharded,
         )
@@ -470,6 +492,12 @@ def assemble(
             comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
             evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
+            import jax as _jax1
+
+            if _jax1.process_count() > 1:
+                from shannon_tpu.parallel.multihost import gather_evidence
+
+                evidence = gather_evidence(*evidence)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -555,12 +583,20 @@ def run_pipeline(
       spectrum.npz    corrected k-mer spectrum
       transcripts.fasta  final output
     """
+    import jax as _jax0
+
+    pid = _jax0.process_index()
+    multi_proc = _jax0.process_count() > 1
     out = Path(config.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "config.json").write_text(config.to_json())
-    timer = StageTimer(out_dir=out)
+    if pid == 0:
+        (out / "config.json").write_text(config.to_json())
+    # multi-process: per-host reads checkpoint (each host holds its own
+    # slice); spectrum/transcript artifacts are identical on every host
+    # and written by process 0 only (single-writer-per-file, SURVEY §6)
+    timer = StageTimer(out_dir=out if pid == 0 else None)
 
-    reads_npz = out / "reads.npz"
+    reads_npz = out / (f"reads.p{pid}.npz" if multi_proc else "reads.npz")
     if config.resume and reads_npz.exists():
         data = np.load(reads_npz)
         batch = ReadBatch(
@@ -651,13 +687,14 @@ def run_pipeline(
                 else:
                     spec_dev, _ = _spectrum_device(batch, config, clip=False)
                     nk0 = int(spec_dev.n)
-                    np.savez_compressed(
-                        corrected_npz,
-                        kmers=hilo_to_int(
-                            spec_dev.hi[:nk0], spec_dev.lo[:nk0]
-                        ),
-                        counts=np.asarray(spec_dev.count[:nk0], np.int64),
-                    )
+                    if pid == 0:
+                        np.savez_compressed(
+                            corrected_npz,
+                            kmers=hilo_to_int(
+                                spec_dev.hi[:nk0], spec_dev.lo[:nk0]
+                            ),
+                            counts=np.asarray(spec_dev.count[:nk0], np.int64),
+                        )
                 spec_dev, ca_live = clip_tips_graph(
                     spec_dev, config, canonical=not config.strand_specific
                 )
@@ -671,7 +708,8 @@ def run_pipeline(
                 vals = np.fromiter(alive.values(), dtype=np.int64, count=len(alive))
                 order = np.argsort(keys)
                 keys, vals = keys[order], vals[order]
-        np.savez_compressed(spectrum_npz, kmers=keys, counts=vals)
+        if pid == 0:
+            np.savez_compressed(spectrum_npz, kmers=keys, counts=vals)
         timer.note("spectrum", n_kmers=len(keys))
 
     fasta = out / "transcripts.fasta"
@@ -705,6 +743,18 @@ def run_pipeline(
                 comps = device_components(ca)
             with timer.stage("threading"):
                 evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
+                if multi_proc:
+                    # re-join the per-host evidence so the back half
+                    # assembles the GLOBAL read set (deterministically
+                    # identical on every host; VERDICT r3 item 2)
+                    from shannon_tpu.parallel.multihost import (
+                        gather_evidence,
+                    )
+
+                    evidence = gather_evidence(*evidence)
+                    timer.note(
+                        "threading", gathered_paths=len(evidence[2])
+                    )
         else:
             with timer.stage("graph"):
                 if alive is None:
@@ -750,13 +800,14 @@ def run_pipeline(
                 n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
                 transcripts_all, truncated = enumerate_transcripts(g, config)
             final = dedupe_and_filter(transcripts_all, config)
-        write_fasta(
-            fasta,
-            [
-                (f"shannon_tpu_{i} abundance={t.abundance:.4f}", t.seq)
-                for i, t in enumerate(final)
-            ],
-        )
+        if pid == 0:  # single writer; every host computed the same set
+            write_fasta(
+                fasta,
+                [
+                    (f"shannon_tpu_{i} abundance={t.abundance:.4f}", t.seq)
+                    for i, t in enumerate(final)
+                ],
+            )
         result = AssemblyResult(
             transcripts=final,
             stats={

@@ -44,6 +44,22 @@ def build_parser() -> argparse.ArgumentParser:
              "footprint length <= k+2 (0 disables)",
     )
     p.add_argument("--min-transcript-length", type=int, default=200)
+    p.add_argument(
+        "--no-pairs", action="store_true",
+        help="ignore paired-end mate/insert-size evidence in "
+             "multibridging (pairs are used by default)",
+    )
+    p.add_argument(
+        "--insert-size", type=int, default=AssemblyConfig.insert_size,
+        help="mean fragment (insert) length of the paired library; "
+             "0 = estimate from the data",
+    )
+    p.add_argument(
+        "--insert-size-std", type=float,
+        default=AssemblyConfig.insert_size_std,
+        help="fragment length standard deviation; 0 = estimate "
+             "(1.4826*MAD, or 10%% of --insert-size when given)",
+    )
     p.add_argument("--kmer-capacity", type=int, default=1 << 22,
                    help="device spectrum table capacity")
     p.add_argument("--read-pad-length", type=int, default=0,
@@ -82,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
         error_branch_ratio=args.error_branch_ratio,
         min_transcript_length=args.min_transcript_length,
         min_output_abundance=args.min_output_abundance,
+        use_pairs=not args.no_pairs,
+        insert_size=args.insert_size,
+        insert_size_std=args.insert_size_std,
         kmer_capacity=args.kmer_capacity,
         read_pad_length=args.read_pad_length,
         out_dir=args.out_dir,

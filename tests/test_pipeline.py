@@ -146,6 +146,32 @@ def test_cli_end_to_end(dataset, tmp_path, capsys):
     assert {min(t, revcomp_str(t)) for t in ts} <= got
 
 
+def test_cli_pair_knobs_flow_to_config(tmp_path, monkeypatch):
+    """--no-pairs / --insert-size / --insert-size-std reach the config
+    (VERDICT r3: the CLI lacked the pairing knobs the config exposes)."""
+    import shannon_tpu.pipeline as pl
+    from shannon_tpu.cli import main
+    from shannon_tpu.pipeline import AssemblyResult
+
+    seen = {}
+
+    def fake_run_pipeline(config, **kw):
+        seen["cfg"] = config
+        return AssemblyResult(transcripts=[], stats={})
+
+    monkeypatch.setattr(pl, "run_pipeline", fake_run_pipeline)
+    rc = main([
+        "-o", str(tmp_path), "--left", "l.fa", "--right", "r.fa",
+        "--no-pairs", "--insert-size", "300", "--insert-size-std", "25",
+        "--backend", "oracle",
+    ])
+    assert rc == 0
+    cfg = seen["cfg"]
+    assert cfg.use_pairs is False
+    assert cfg.insert_size == 300
+    assert cfg.insert_size_std == 25.0
+
+
 def test_cli_arg_errors(tmp_path, capsys):
     from shannon_tpu.cli import main
 

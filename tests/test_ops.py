@@ -140,6 +140,21 @@ def test_merge_spectra_sized_grows_past_batch_capacity(rng):
     assert merged.to_dict() == count_kmers(r1 + r2, k)
 
 
+def test_count_reads_spectrum_growth_via_speculative_redo(rng):
+    """The lagged async overflow scheme (round 4): when the GLOBAL
+    table outgrows the per-batch capacity, the speculative fixed-shape
+    merge is redone as a sized merge one batch late — the final
+    spectrum must still match the oracle exactly."""
+    reads = [random_seq(rng, 70) for _ in range(64)]
+    b = pack_reads(reads, pad_length=70)
+    # per 16-read batch: ~750 distinct < 1024 cap; total ~2900 > cap
+    spec = count_reads_spectrum(
+        b.codes, b.lengths, k=19, capacity=1024, batch_reads=16
+    )
+    assert spec.capacity > 1024  # the growth path actually engaged
+    assert spec.to_dict() == count_kmers(reads, 19)
+
+
 def test_count_reads_spectrum_batch_overflow_raises(rng):
     """Per-batch capacity overflow must raise, not be silently absorbed
     by the growing merge."""

@@ -6,7 +6,7 @@ per process, even with a warm persistent compile cache — measured 79s
 first call / 66ms steady for the counting kernel); the second (steady)
 run is the production-throughput number (a deployment streams many
 datasets through one resident process)."""
-import sys, time, json, resource
+import os, sys, time, json, resource
 import numpy as np
 
 n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
@@ -20,7 +20,13 @@ from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.utils.timing import StageTimer
 
 rng = np.random.default_rng(11)
-n_tr = 500
+# dataset/config knobs for scale points (SHANNON_E2E_NTR: transcriptome
+# size; SHANNON_E2E_MIN_ABUND: abundance cutoff — >=2 is standard at
+# the very high per-transcript coverage a multi-million-read run of a
+# small simulated transcriptome implies, and keeps the pre-clip node
+# table under the documented ~7.3M-lane device ceiling)
+n_tr = int(os.environ.get("SHANNON_E2E_NTR", 500))
+min_abund = int(os.environ.get("SHANNON_E2E_MIN_ABUND", 1))
 tlen = 1500
 cov = n_reads * 100 / (n_tr * tlen)
 abund = np.exp(rng.normal(0, 1, n_tr))
@@ -29,7 +35,7 @@ ts = simulate_transcripts(rng, n=n_tr, length=tlen)
 t0 = time.perf_counter()
 reads = sample_reads(rng, ts, abundances=abund, coverage=cov, read_length=100, error_rate=0.01)
 print(f"simulated {len(reads)} reads in {time.perf_counter()-t0:.1f}s", flush=True)
-cfg = AssemblyConfig()
+cfg = AssemblyConfig(min_abundance=min_abund)
 out = {}
 for label in ("cold", "steady"):
     timer = StageTimer(echo=True)

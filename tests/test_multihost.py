@@ -46,3 +46,6 @@ def test_two_process_jax_distributed_smoke(tmp_path):
     assert result["ok"] is True
     assert len(result["processes"]) == 2
     assert {p["n_processes"] for p in result["processes"]} == {2}
+    # round 4: the smoke now covers the FULL pipeline FASTA to FASTA
+    assert result["fasta_parity"] is True
+    assert all(p["n_transcripts"] > 0 for p in result["processes"])

@@ -50,32 +50,73 @@ def _dedup_rows(
     flat: np.ndarray, offs: np.ndarray, weights: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Merge duplicate paths (sum weights), keeping first-occurrence
-    order — vectorized equivalent of the dict-based dedup."""
+    order — vectorized equivalent of the dict-based dedup.
+
+    Dedup runs PER LENGTH CLASS: rows of different length can never be
+    equal, most evidence paths are 1-3 nodes, and np.unique(axis=0)
+    over one [n, Lmax] padded matrix was 15.4s / ~1GB at 1M reads
+    (2.84M paths — the biggest single assembly cost after round 4's
+    subgraph vectorization); the same unique over per-length matrices
+    touches each element once at its true width.  Semantics are
+    byte-identical: uniques from different classes are distinct by
+    construction, and the final argsort over original first-occurrence
+    indices reproduces the global first-occurrence order exactly."""
     n = len(offs) - 1
     if n == 0:
         return flat[:0], offs[:1], weights[:0]
     lens = np.diff(offs)
-    L = int(lens.max(initial=0))
-    rows = np.full((n, L), -1, np.int64)
-    row_of = np.repeat(np.arange(n), lens)
-    col = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
-    rows[row_of, col] = flat
-    _, first, inv = np.unique(
-        rows, axis=0, return_index=True, return_inverse=True
-    )
-    order = np.argsort(first, kind="stable")  # first-occurrence order
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    wsum = np.zeros(len(order), np.int64)
-    np.add.at(wsum, rank[inv], weights)
-    keep = first[order]  # original index of each unique path, in order
-    klens = lens[keep]
-    noffs = np.zeros(len(keep) + 1, np.int64)
+    # rows whose l node ids (each < 2^bits) fit one int64 dedup via an
+    # EXACT injective bit-pack + 1-D unique — the l <= 3 classes are
+    # the bulk of real evidence and 1-D unique is ~10x the void-view
+    # row unique
+    bits = max(int(flat.max(initial=0)).bit_length(), 1)
+    first_l: list[np.ndarray] = []  # original first index per unique
+    weight_l: list[np.ndarray] = []
+    rowlen_l: list[np.ndarray] = []
+    start_l: list[np.ndarray] = []  # original flat start per unique
+    for l in np.unique(lens):
+        sel = np.nonzero(lens == l)[0]  # ascending = original order
+        if l == 0:
+            first_l.append(sel[:1])
+            weight_l.append(np.array([weights[sel].sum()], np.int64))
+            rowlen_l.append(np.zeros(1, np.int64))
+            start_l.append(offs[:-1][sel[:1]])
+            continue
+        src = offs[:-1][sel, None] + np.arange(l, dtype=np.int64)[None, :]
+        mat = flat[src]  # [n_l, l]
+        if l * bits <= 63:
+            key = mat[:, 0].copy()
+            for j in range(1, int(l)):
+                key = (key << bits) | mat[:, j]
+            _, fi, inv = np.unique(
+                key, return_index=True, return_inverse=True
+            )
+        else:
+            _, fi, inv = np.unique(
+                mat, axis=0, return_index=True, return_inverse=True
+            )
+        # bincount beats np.add.at ~10x; float64 accumulation is exact
+        # for integer weights below 2^53
+        ws = np.bincount(
+            inv, weights=weights[sel], minlength=len(fi)
+        ).astype(np.int64)
+        first_l.append(sel[fi])
+        weight_l.append(ws)
+        rowlen_l.append(np.full(len(fi), l, np.int64))
+        start_l.append(offs[:-1][sel[fi]])
+    firsts = np.concatenate(first_l)
+    wsums = np.concatenate(weight_l)
+    klens = np.concatenate(rowlen_l)
+    starts = np.concatenate(start_l)
+    order = np.argsort(firsts, kind="stable")  # global first-occurrence
+    wsums, klens, starts = wsums[order], klens[order], starts[order]
+    noffs = np.zeros(len(order) + 1, np.int64)
     np.cumsum(klens, out=noffs[1:])
-    src = np.repeat(offs[:-1][keep], klens) + (
-        np.arange(int(noffs[-1])) - np.repeat(noffs[:-1], klens)
+    src = np.repeat(starts, klens) + (
+        np.arange(int(noffs[-1]), dtype=np.int64)
+        - np.repeat(noffs[:-1], klens)
     )
-    return flat[src], noffs, wsum
+    return flat[src], noffs, wsums
 
 
 class NodeGraph:

@@ -74,6 +74,128 @@ def _adjacency_lists(out_e: np.ndarray, n: int) -> list[list[int]]:
     ]
 
 
+def _doom_round1(
+    klen: np.ndarray,
+    csum: np.ndarray,
+    out_adj: list[list[int]],
+    config,
+) -> np.ndarray:
+    """Vectorized round-1 doom scan: the exact decision set of
+    _doom_check over EVERY contig of the original graph, as numpy
+    passes over the edge list (the per-contig Python scan was the
+    dominant host cost of the clip rounds at 1M+ contigs).  Returns
+    ascending doomed contig ids.  Later (incremental) rounds still use
+    the Python decision code — they touch only change neighborhoods.
+
+    Float semantics match _doom_check bit-for-bit: abundances and
+    competitor maxima are float32, comparisons are
+    float32(c) < rv * comp with comp starting at 0.0."""
+    n = len(klen)
+    tip_klen = config.tip_klen_effective
+    ratio = np.float32(config.sibling_ratio)
+    err_klen = config.error_klen_effective
+    err_ratio = np.float32(config.error_branch_ratio)
+    min_len = config.min_transcript_length
+    k1 = config.k - 1
+    abv = np.float32(csum) / np.float32(klen)
+    if err_ratio > 0.0:
+        rv = np.where(klen <= err_klen, err_ratio, ratio).astype(np.float32)
+    else:
+        rv = np.full(n, ratio, np.float32)
+
+    lens = np.fromiter((len(a) for a in out_adj), np.int64, n)
+    src = np.repeat(np.arange(n, dtype=np.int64), lens)
+    dst = np.fromiter(
+        (d for a in out_adj for d in a), np.int64, int(lens.sum())
+    )
+    outdeg = lens
+    indeg = np.bincount(dst, minlength=n)
+    short = klen <= tip_klen
+    doom = np.zeros(n, bool)
+
+    # isolated contigs
+    iso = short & (outdeg == 0) & (indeg == 0)
+    doom[iso] = (klen[iso] + k1) < min_len
+    if len(src) == 0:
+        return np.nonzero(doom)[0]
+
+    def top2(group, other, n):
+        """Per-group (max abv[other], its other-id, 2nd max abv) with
+        0.0 defaults — 'max excluding x' = max2 when arg1 == x."""
+        order = np.lexsort((abv[other], group))
+        g, o = group[order], other[order]
+        v = abv[o]
+        is_last = np.empty(len(g), bool)
+        is_last[:-1] = g[1:] != g[:-1]
+        is_last[-1] = True
+        lasts = np.nonzero(is_last)[0]
+        max1 = np.zeros(n, np.float32)
+        arg1 = np.full(n, -1, np.int64)
+        max2 = np.zeros(n, np.float32)
+        max1[g[lasts]] = v[lasts]
+        arg1[g[lasts]] = o[lasts]
+        prev = lasts - 1
+        ok = (prev >= 0) & (g[np.clip(prev, 0, None)] == g[lasts])
+        max2[g[lasts[ok]]] = v[prev[ok]]
+        return max1, arg1, max2
+
+    # top-2 abundances of each node's PREDECESSORS (grouped by dst)
+    # and SUCCESSORS (grouped by src)
+    pmax1, parg1, pmax2 = top2(dst, src, n)
+    smax1, sarg1, smax2 = top2(src, dst, n)
+
+    # dead-end attached on the right (no in, has out):
+    #   comp = max over d in out[c] of (max abv of preds of d except c)
+    e_val = np.where(parg1[dst] == src, pmax2[dst], pmax1[dst])
+    compR = np.zeros(n, np.float32)
+    np.maximum.at(compR, src, e_val.astype(np.float32))
+    selR = short & (indeg == 0) & (outdeg > 0)
+    doom[selR] = np.float32(abv[selR]) < rv[selR] * compR[selR]
+
+    # dead-end attached on the left (no out, has in):
+    #   comp = max over d in inc[c] of (max abv of succs of d except c)
+    e_val2 = np.where(sarg1[src] == dst, smax2[src], smax1[src])
+    compL = np.zeros(n, np.float32)
+    np.maximum.at(compL, dst, e_val2.astype(np.float32))
+    selL = short & (outdeg == 0) & (indeg > 0)
+    doom[selL] = np.float32(abv[selL]) < rv[selL] * compL[selL]
+
+    # bubble: short, indeg == 1 and outdeg == 1 — competitor is the
+    # best x in out[u] ∩ inc[w], x != c, where u/w are the unique
+    # pred/succ
+    selB = short & (indeg == 1) & (outdeg == 1)
+    if selB.any():
+        # unique pred of nodes with indeg==1: scatter src by dst
+        tmp = np.full(n, -1, np.int64)
+        tmp[dst] = src  # any pred; unique when indeg==1
+        u = tmp
+        tmp2 = np.full(n, -1, np.int64)
+        tmp2[src] = dst  # any succ; unique when outdeg==1
+        w = tmp2
+        # CSR over out-edges (out_adj lists are sorted unique)
+        estart = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=estart[1:])
+        ekey = src * np.int64(n) + dst  # sorted ascending by construction
+        cb = np.nonzero(selB)[0]
+        ub, wb = u[cb], w[cb]
+        comp = np.zeros(len(cb), np.float32)
+        for t in range(4):
+            idx = estart[ub] + t
+            valid = t < outdeg[ub]
+            x = dst[np.clip(idx, 0, len(dst) - 1)]
+            probe = x * np.int64(n) + wb
+            pos = np.searchsorted(ekey, probe)
+            edge_ok = (pos < len(ekey)) & (
+                ekey[np.clip(pos, 0, len(ekey) - 1)] == probe
+            )
+            ok = valid & (x != cb) & edge_ok
+            comp = np.maximum(
+                comp, np.where(ok, abv[x], np.float32(0.0))
+            ).astype(np.float32)
+        doom[cb] = np.float32(abv[cb]) < rv[cb] * comp
+    return np.nonzero(doom)[0]
+
+
 def _host_clip_rounds(
     klen: np.ndarray,
     csum: np.ndarray,
@@ -171,7 +293,13 @@ def _host_clip_rounds(
                     cand_set.update(inc[y])
             cand = [c for c in cand_set if c in out]
         changed = set()
-        doomed = [c for c in cand if _doom_check(c)]
+        if rnd == 0:
+            # full-graph scan, vectorized (identical decision set —
+            # see _doom_round1); later rounds are neighborhood-sized
+            # and stay on the per-contig Python decision code
+            doomed = _doom_round1(klen, csum, out_adj, config).tolist()
+        else:
+            doomed = [c for c in cand if _doom_check(c)]
         if not doomed:
             break
         merge_seeds: set[int] = set()

@@ -174,6 +174,71 @@ def test_clip_remap_skipped_when_nothing_doomed(rng):
     assert spec2.to_dict() == spec.to_dict()
 
 
+def test_doom_round1_matches_scalar_reference(rng):
+    """The vectorized round-1 doom scan must reproduce the per-contig
+    scalar decision exactly on random graphs (isolated / dead-end /
+    bubble classes, float32 semantics, self-loops)."""
+    from shannon_tpu.ops.tipclip import _doom_round1
+
+    cfg = AssemblyConfig(k=21)
+    tip_klen = cfg.tip_klen_effective
+    err_klen = cfg.error_klen_effective
+    for trial in range(25):
+        n = int(rng.integers(3, 120))
+        klen = rng.integers(1, 2 * tip_klen, n).astype(np.int64)
+        csum = (klen * rng.integers(1, 30, n)).astype(np.int64)
+        out_adj = [
+            sorted(
+                set(rng.integers(0, n, rng.integers(0, 4)).tolist())
+            )[:4]
+            for _ in range(n)
+        ]
+        inc_adj = [[] for _ in range(n)]
+        for u, a in enumerate(out_adj):
+            for v in a:
+                inc_adj[v].append(u)
+        abv = np.float32(csum) / np.float32(klen)
+        if cfg.error_branch_ratio > 0.0:
+            rv = np.where(
+                klen <= err_klen,
+                np.float32(cfg.error_branch_ratio),
+                np.float32(cfg.sibling_ratio),
+            ).astype(np.float32)
+        else:
+            rv = np.full(n, np.float32(cfg.sibling_ratio), np.float32)
+
+        def scalar_doom(c):  # the original _doom_check round-1 logic
+            if klen[c] > tip_klen:
+                return False
+            inc_c, out_c = inc_adj[c], out_adj[c]
+            if not inc_c and not out_c:
+                return klen[c] + cfg.k - 1 < cfg.min_transcript_length
+            comp = np.float32(0.0)
+            if inc_c and out_c:
+                if len(inc_c) == 1 and len(out_c) == 1:
+                    u, w = inc_c[0], out_c[0]
+                    for x in out_adj[u]:
+                        if x != c and x in inc_adj[w] and abv[x] > comp:
+                            comp = abv[x]
+                    return abv[c] < rv[c] * comp
+                return False
+            if not inc_c:
+                for d in out_c:
+                    for e in inc_adj[d]:
+                        if e != c and abv[e] > comp:
+                            comp = abv[e]
+            else:
+                for d in inc_c:
+                    for e in out_adj[d]:
+                        if e != c and abv[e] > comp:
+                            comp = abv[e]
+            return abv[c] < rv[c] * comp
+
+        expect = [c for c in range(n) if scalar_doom(c)]
+        got = _doom_round1(klen, csum, out_adj, cfg).tolist()
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
 def test_error_branch_ratio_pops_low_coverage_bubble(rng):
     """A single-substitution bubble at coverage 4 survives the lax
     sibling_ratio (1 >= 0.1*4) but is popped by error_branch_ratio

@@ -37,7 +37,13 @@ reads = sample_reads(rng, ts, abundances=abund, coverage=cov, read_length=100, e
 print(f"simulated {len(reads)} reads in {time.perf_counter()-t0:.1f}s", flush=True)
 cfg = AssemblyConfig(min_abundance=min_abund)
 out = {}
-for label in ("cold", "steady"):
+# SHANNON_E2E_PASSES=1: one pass only, recorded under BOTH labels with
+# single_pass=true — for scale points where the second in-process pass
+# exhausts device HBM (fragmentation at 4M-read table sizes); run in a
+# fresh process with warm caches so the pass is bring-up + steady work
+passes = int(os.environ.get("SHANNON_E2E_PASSES", 2))
+labels = ("cold", "steady")[:passes] if passes >= 2 else ("steady",)
+for label in labels:
     timer = StageTimer(echo=True)
     t0 = time.perf_counter()
     res = assemble(reads, cfg, backend="device", timer=timer)
@@ -48,6 +54,9 @@ for label in ("cold", "steady"):
         "stages": {k: v for k, v in timer.stages.items()},
     }
     print(f"--- {label}: {dt:.1f}s ({len(reads)/dt:.0f} reads/s)", flush=True)
+if passes < 2:
+    out["cold"] = out["steady"]
+    out["single_pass"] = True
 out["stats"] = res.stats
 out["n_reads"] = len(reads)
 out["distinct_programs"] = len(programs.keys)

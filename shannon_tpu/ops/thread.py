@@ -138,8 +138,8 @@ def _thread_windows(hi, lo, valid, ca: ContigArrays):
     return ev_cid, ev_run, n_events, run_p0, run_p1, run_o0, run_o1
 
 
-@partial(jax.jit, static_argnames=("w", "r"))
-def pack_thread_outputs(
+@jax.jit
+def compact_thread_outputs(
     ev_cid: jnp.ndarray,
     ev_run: jnp.ndarray,
     n_events: jnp.ndarray,
@@ -147,80 +147,133 @@ def pack_thread_outputs(
     run_p1: jnp.ndarray,
     run_o0: jnp.ndarray,
     run_o1: jnp.ndarray,
-    lengths: jnp.ndarray,
-    w: int,
-    r: int,
-) -> jnp.ndarray:
-    """Pack the threading outputs into ONE [N, w+2r+3 + (w+2r+1)//2]
-    int32 buffer for a single device->host transfer, trimmed to w event
-    and r run columns and with 16-bit fields bitcast-packed in pairs.
-
-    The tunnel to this TPU moves ~30 MB/s with ~100 ms per-transfer
-    latency (measured): the old 7-download/batch full-width handoff was
-    ~4s per 65k-read batch, ~95% of threading 'kernel' wall.  Trimmed +
-    packed it is one ~26 MB download.
-
-    Column layout (int32): ev_cid[w] | o0[r] | o1[r] | n_events |
-    length | n_runs | packed int16 pairs of (ev_run[w] | p0[r] | p1[r]),
-    zero-padded to an even int16 count.  Overflow (a read with more
-    than w events or r runs) is detected HOST-side from the n_events /
-    n_runs columns — no extra scalar sync — and the caller re-packs
-    that batch at full width."""
+):
+    """ACROSS-READ compaction of the threading outputs: one flat
+    position-key sort packs every real event (and every real run) to
+    the front in (read, position) order.  The per-read padded download
+    was ~26MB/65k-read batch at ~4 real events per read — the padding,
+    not the content, dominated the threading wall (download-bound at
+    the tunnel's ~30-40MB/s; round-4 profile).  Returns the compacted
+    flat arrays plus per-row and total counts; pack_evidence slices
+    them to a measured capacity for one small download."""
     N, W = ev_cid.shape
+    MSB = jnp.uint32(0x80000000)
+    pos_e = jax.lax.broadcasted_iota(jnp.uint32, (N * W, 1), 0)[:, 0]
+    valid_e = (ev_cid >= 0).reshape(-1)
+    key_e = jnp.where(valid_e, pos_e, pos_e | MSB)
+    _, c_cid, c_run = jax.lax.sort(
+        (key_e, ev_cid.reshape(-1), ev_run.reshape(-1)), num_keys=1
+    )
+    tot_e = valid_e.sum(dtype=jnp.int32)
     R = run_p0.shape[1]
-    w = min(w, W)
-    r = min(r, R)
-    n_runs = (run_p0 != -1).sum(axis=1).astype(jnp.int32)
-    buf16 = jnp.concatenate(
-        [
-            ev_run[:, :w].astype(jnp.int16),
-            run_p0[:, :r].astype(jnp.int16),
-            run_p1[:, :r].astype(jnp.int16),
-        ],
+    pos_r = jax.lax.broadcasted_iota(jnp.uint32, (N * R, 1), 0)[:, 0]
+    valid_r = (run_p0 >= 0).reshape(-1)
+    key_r = jnp.where(valid_r, pos_r, pos_r | MSB)
+    _, c_p0, c_p1, c_o0, c_o1 = jax.lax.sort(
+        (
+            key_r,
+            run_p0.reshape(-1),
+            run_p1.reshape(-1),
+            run_o0.reshape(-1),
+            run_o1.reshape(-1),
+        ),
+        num_keys=1,
+    )
+    tot_r = valid_r.sum(dtype=jnp.int32)
+    n_runs = (run_p0 >= 0).sum(axis=1).astype(jnp.int32)
+    return c_cid, c_run, c_p0, c_p1, c_o0, c_o1, n_runs, jnp.stack(
+        [tot_e, tot_r]
+    )
+
+
+@partial(jax.jit, static_argnames=("cap_e", "cap_r"))
+def pack_evidence(
+    c_cid, c_run, c_p0, c_p1, c_o0, c_o1, n_events, n_runs, lengths,
+    cap_e: int, cap_r: int,
+) -> jnp.ndarray:
+    """One int32 download buffer for a batch's compacted evidence.
+    cap_e/cap_r come from the measured totals rounded to the
+    {2^k, 1.5*2^k} grid (compile-cache-stable, <=50% slack, always
+    even so int16 fields pair).  Layout: ev_cid[cap_e] | run_o0[cap_r]
+    | run_o1[cap_r] | (p0,p1) int16 pairs [cap_r] | ev_run int16 pairs
+    [cap_e/2] | n_events[N] | n_runs[N] | lengths[N]."""
+    run16 = c_run[:cap_e].astype(jnp.int16).reshape(cap_e // 2, 2)
+    ev_run_p = jax.lax.bitcast_convert_type(run16, jnp.int32)
+    p16 = jnp.stack(
+        [c_p0[:cap_r].astype(jnp.int16), c_p1[:cap_r].astype(jnp.int16)],
         axis=1,
     )
-    if buf16.shape[1] % 2:
-        buf16 = jnp.pad(buf16, ((0, 0), (0, 1)))
-    pairs = jax.lax.bitcast_convert_type(
-        buf16.reshape(N, -1, 2), jnp.int32
-    )
+    p_pack = jax.lax.bitcast_convert_type(p16, jnp.int32)
     return jnp.concatenate(
         [
-            ev_cid[:, :w],
-            run_o0[:, :r],
-            run_o1[:, :r],
-            n_events[:, None].astype(jnp.int32),
-            lengths[:, None].astype(jnp.int32),
-            n_runs[:, None],
-            pairs,
-        ],
-        axis=1,
+            c_cid[:cap_e],
+            c_o0[:cap_r],
+            c_o1[:cap_r],
+            p_pack,
+            ev_run_p,
+            n_events.astype(jnp.int32),
+            n_runs,
+            lengths.astype(jnp.int32),
+        ]
     )
 
 
-def unpack_thread_buffer(
-    buf: np.ndarray, w: int, r: int
+def evidence_grid(n: int, minimum: int = 1 << 12) -> int:
+    """Smallest even {2^k, 1.5*2^k} grid point >= n (capacity for
+    pack_evidence slices; grid keeps the compiled shape set small)."""
+    want = max(int(n), minimum)
+    p = 1 << (want - 1).bit_length()
+    c = p // 4 * 3
+    return c if c >= want else p
+
+
+def unpack_evidence(
+    buf: np.ndarray, cap_e: int, cap_r: int, n_rows: int
 ) -> dict[str, np.ndarray]:
-    """Host-side split of pack_thread_outputs' buffer back into named
-    arrays (16-bit fields widened to int32)."""
+    """Host-side split of pack_evidence's buffer back into RECTANGULAR
+    per-read arrays (the exact shapes runs_to_flat_paths /
+    paths_to_lists consume), sized to the batch's true max events/runs
+    per read — a cheap numpy scatter over the tiny downloaded stream."""
     buf = np.asarray(buf)
     c = 0
-    out: dict[str, np.ndarray] = {}
-    out["ev_cid"] = buf[:, c : c + w]; c += w
-    out["run_o0"] = buf[:, c : c + r]; c += r
-    out["run_o1"] = buf[:, c : c + r]; c += r
-    out["n_events"] = buf[:, c]; c += 1
-    out["lengths"] = buf[:, c]; c += 1
-    out["n_runs"] = buf[:, c]; c += 1
-    # ascontiguousarray: arrays fetched from the TPU runtime can carry
-    # a layout whose int16 view numpy rejects
-    halves = (
-        np.ascontiguousarray(buf[:, c:]).view(np.int16).reshape(len(buf), -1)
+    ev_cid_f = buf[c : c + cap_e]; c += cap_e
+    run_o0_f = buf[c : c + cap_r]; c += cap_r
+    run_o1_f = buf[c : c + cap_r]; c += cap_r
+    p_pack = buf[c : c + cap_r]; c += cap_r
+    ev_run_p = buf[c : c + cap_e // 2]; c += cap_e // 2
+    n_events = buf[c : c + n_rows]; c += n_rows
+    n_runs = buf[c : c + n_rows]; c += n_rows
+    lengths = buf[c : c + n_rows]
+    ev_run_f = (
+        np.ascontiguousarray(ev_run_p).view(np.int16).astype(np.int32)
     )
-    out["ev_run"] = halves[:, :w].astype(np.int32)
-    out["run_p0"] = halves[:, w : w + r].astype(np.int32)
-    out["run_p1"] = halves[:, w + r : w + 2 * r].astype(np.int32)
-    return out
+    p16 = np.ascontiguousarray(p_pack).view(np.int16).reshape(-1, 2)
+    run_p0_f = p16[:, 0].astype(np.int32)
+    run_p1_f = p16[:, 1].astype(np.int32)
+
+    def rect(flat: np.ndarray, counts: np.ndarray, width: int) -> np.ndarray:
+        out = np.full((n_rows, max(width, 0)), -1, np.int32)
+        total = int(counts.sum())
+        row_of = np.repeat(np.arange(n_rows), counts)
+        col = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        out[row_of, col] = flat[:total]
+        return out
+
+    w = int(n_events.max(initial=0))
+    r = int(n_runs.max(initial=0))
+    return {
+        "ev_cid": rect(ev_cid_f, n_events, w),
+        "ev_run": rect(ev_run_f, n_events, w),
+        "n_events": n_events.astype(np.int32),
+        "run_p0": rect(run_p0_f, n_runs, r),
+        "run_p1": rect(run_p1_f, n_runs, r),
+        "run_o0": rect(run_o0_f, n_runs, r),
+        "run_o1": rect(run_o1_f, n_runs, r),
+        "n_runs": n_runs.astype(np.int32),
+        "lengths": lengths.astype(np.int32),
+    }
 
 
 def runs_to_flat_paths(

@@ -192,10 +192,6 @@ def _graph_device(
     return g, int(spec.n), ca
 
 
-THREAD_TRIM_W = 32  # event columns transferred per read (fallback: full)
-THREAD_TRIM_R = 16  # run columns transferred per read
-
-
 def _thread_device(
     batch: ReadBatch,
     ca,
@@ -207,12 +203,17 @@ def _thread_device(
     (flat node ids, row offsets, weights) for NodeGraph.set_paths_flat.
 
     Streams read batches (static shapes, compile-cache friendly) like
-    the counting driver.  Each batch comes back as ONE packed, trimmed
-    transfer (ops/thread.pack_thread_outputs — the tunnel's ~100 ms
-    latency and ~30 MB/s made the old 7-download full-width handoff
-    ~95% of threading wall).  Single-end evidence is then built fully
-    vectorized (runs_to_flat_paths); the paired path row-dedups (pairs
-    as units) and runs the Python pair-joining over unique rows only."""
+    the counting driver.  Each batch's outputs are compacted ACROSS
+    reads on device (ops/thread.compact_thread_outputs) and downloaded
+    at their measured size (~4 real events/read vs the 100-int32/read
+    padded buffer the r3 driver shipped: the threading wall was
+    download-bound on the ~30-40MB/s tunnel).  The driver pipelines
+    three stages a batch apart — kernel+compact dispatch, totals
+    resolution -> pack dispatch at grid capacity, blocking download —
+    so the device computes batch i+2 while batch i streams back.
+    Single-end evidence is then built fully vectorized
+    (runs_to_flat_paths); the paired path row-dedups (pairs as units)
+    and runs the Python pair-joining over unique rows only."""
     import time as _time
 
     import jax.numpy as jnp
@@ -221,39 +222,41 @@ def _thread_device(
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.oracle.nodegraph import _lists_to_flat
     from shannon_tpu.ops.thread import (
-        pack_thread_outputs,
+        compact_thread_outputs,
+        evidence_grid,
+        pack_evidence,
         paths_to_lists,
         runs_to_flat_paths,
         thread_reads_device_packed,
-        unpack_thread_buffer,
+        unpack_evidence,
     )
 
     t0 = _time.perf_counter()
     n = batch.n_reads
     bs = config.batch_reads
-    # pipelined: keep a small window of batches dispatched ahead so
-    # batch i+1 executes while batch i streams through the ~30 MB/s
-    # tunnel (hides all but the last transfer); the window is bounded
-    # so in-flight device buffers stay O(window), not O(dataset)
-    WINDOW = 4
     parts: list[tuple[dict, int, int]] = []
-    pending: list[tuple[object, object, object, int, int, int]] = []
+    stage_a: list[tuple] = []
+    stage_b: list[tuple] = []
 
-    def _collect() -> None:
-        buf, outs, lengths_j, n_rows, w_eff, r_eff = pending.pop(0)
-        d = unpack_thread_buffer(np.asarray(buf), w_eff, r_eff)
-        W_full = batch.codes.shape[1] - config.k + 1
-        R_full = (W_full + 1) // 2 + 1
-        if (w_eff < W_full and d["n_events"].max(initial=0) > w_eff) or (
-            r_eff < R_full and d["n_runs"].max(initial=0) > r_eff
-        ):
-            # rare wide read: re-transfer this batch at full width
-            buf = pack_thread_outputs(*outs, lengths_j, w=W_full, r=R_full)
-            d = unpack_thread_buffer(np.asarray(buf), W_full, R_full)
-            w_eff, r_eff = W_full, R_full
-        parts.append(
-            ({k: v[:n_rows] for k, v in d.items()}, w_eff, r_eff)
+    def _drain_a() -> None:
+        comp, n_events, lengths_j, n_real, n_pad = stage_a.pop(0)
+        c_cid, c_run, c_p0, c_p1, c_o0, c_o1, n_runs, totals = comp
+        tot_e, tot_r = (int(x) for x in np.asarray(totals))
+        cap_e = min(evidence_grid(tot_e), int(c_cid.shape[0]))
+        cap_r = min(
+            evidence_grid(tot_r, minimum=1 << 11), int(c_p0.shape[0])
         )
+        buf = pack_evidence(
+            c_cid, c_run, c_p0, c_p1, c_o0, c_o1,
+            n_events, n_runs, lengths_j, cap_e, cap_r,
+        )
+        stage_b.append((buf, cap_e, cap_r, n_real, n_pad))
+
+    def _drain_b() -> None:
+        buf, cap_e, cap_r, n_real, n_pad = stage_b.pop(0)
+        d = unpack_evidence(np.asarray(buf), cap_e, cap_r, n_pad)
+        d = {k: v[:n_real] for k, v in d.items()}
+        parts.append((d, d["ev_cid"].shape[1], d["run_p0"].shape[1]))
 
     from shannon_tpu.ops.count import pad_batch_rows
 
@@ -276,16 +279,17 @@ def _thread_device(
             length=codes.shape[1],
             mask=None if mask is None else jnp.asarray(mask),
         )
-        W_full = codes.shape[1] - config.k + 1
-        R_full = (W_full + 1) // 2 + 1
-        w_eff = min(THREAD_TRIM_W, W_full)
-        r_eff = min(THREAD_TRIM_R, R_full)
-        buf = pack_thread_outputs(*outs, lengths_j, w=w_eff, r=r_eff)
-        pending.append((buf, outs, lengths_j, e - s, w_eff, r_eff))
-        if len(pending) >= WINDOW:
-            _collect()
-    while pending:
-        _collect()
+        comp = compact_thread_outputs(*outs)
+        comp[-1].copy_to_host_async()  # totals resolve one batch late
+        stage_a.append((comp, outs[2], lengths_j, e - s, codes.shape[0]))
+        if len(stage_a) >= 2:
+            _drain_a()
+        if len(stage_b) >= 2:
+            _drain_b()
+    while stage_a:
+        _drain_a()
+    while stage_b:
+        _drain_b()
     empty = (np.empty(0, np.int64), np.zeros(1, np.int64), np.empty(0, np.int64))
     if not parts:
         return empty

@@ -136,9 +136,11 @@ def test_runs_to_flat_paths_matches_list_path(rng, rescue, strand_specific):
     per-run paths + RC twins the list path (paths_to_lists +
     expand_paths) emits, in the same order."""
     from shannon_tpu.ops.thread import (
-        pack_thread_outputs,
+        compact_thread_outputs,
+        evidence_grid,
+        pack_evidence,
         runs_to_flat_paths,
-        unpack_thread_buffer,
+        unpack_evidence,
     )
 
     cfg = AssemblyConfig(rescue_reads=rescue, strand_specific=strand_specific)
@@ -156,20 +158,26 @@ def test_runs_to_flat_paths_matches_list_path(rng, rescue, strand_specific):
     want_paths, want_w = expand_paths(
         raw, dev_graph, cfg, read_lengths=[int(x) for x in b.lengths]
     )
-    # vectorized path (through the packed transfer, trimmed)
-    W_full = b.codes.shape[1] - cfg.k + 1
-    R_full = (W_full + 1) // 2 + 1
-    w, r = min(8, W_full), min(4, R_full)
-    buf = np.asarray(
-        pack_thread_outputs(*outs, jnp.asarray(b.lengths), w=w, r=r)
+    # vectorized path through the compacted transfer (the production
+    # driver's route: across-read compaction -> measured-size pack ->
+    # host rectangular rebuild)
+    comp = compact_thread_outputs(*outs)
+    c_cid, c_run, c_p0, c_p1, c_o0, c_o1, n_runs, totals = comp
+    tot_e, tot_r = (int(x) for x in np.asarray(totals))
+    cap_e = min(evidence_grid(tot_e, minimum=4), int(c_cid.shape[0]))
+    cap_e += cap_e % 2
+    cap_r = min(evidence_grid(tot_r, minimum=4), int(c_p0.shape[0]))
+    buf = pack_evidence(
+        c_cid, c_run, c_p0, c_p1, c_o0, c_o1, outs[2], n_runs,
+        jnp.asarray(b.lengths), cap_e, cap_r,
     )
-    d = unpack_thread_buffer(buf, min(w, W_full), min(r, R_full))
-    if (d["n_events"].max(initial=0) > w) or (d["n_runs"].max(initial=0) > r):
-        buf = np.asarray(
-            pack_thread_outputs(*outs, jnp.asarray(b.lengths), w=W_full,
-                                r=R_full)
-        )
-        d = unpack_thread_buffer(buf, W_full, R_full)
+    d = unpack_evidence(np.asarray(buf), cap_e, cap_r, b.n_reads)
+    np.testing.assert_array_equal(
+        d["lengths"], np.asarray(b.lengths, np.int32)
+    )
+    # rectangular rebuild must equal the kernel's own (trimmed) outputs
+    w = d["ev_cid"].shape[1]
+    np.testing.assert_array_equal(d["ev_cid"], np.asarray(outs[0])[:, :w])
     rc = None if strand_specific else np.asarray(dev_graph.rc_pair, np.int64)
     flat, offs, weights = runs_to_flat_paths(
         d["ev_cid"], d["ev_run"], d["n_events"], d["run_p0"], d["run_p1"],

@@ -95,7 +95,7 @@ def main():
         "condense B links_stage", _links_stage, node_hi, node_lo, cfg.k,
         sync=lambda o: o[0].block_until_ready(),
     )
-    next_link, prev_link, s_idx, s_hit = links
+    next_link, prev_link, rec_lane, firstP, p_cnt = links
     lbl = t(
         "condense C1 label_stage", _label_stage, prev_link,
         sync=lambda o: o[0].block_until_ready(),
@@ -113,7 +113,7 @@ def main():
     ca = t(
         "condense C2 reduce_stage", _reduce_stage,
         node_hi, node_lo, node_count, n_nodes,
-        prev2, ptr, dist, s_idx, s_hit, cfg.k, True,
+        prev2, ptr, dist, rec_lane, firstP, p_cnt, cfg.k, True,
         sync=lambda o: o.out_edges.block_until_ready(),
     )
     print(f"contigs: {int(ca.n_contigs)}  nodes cap: {node_hi.shape[0]}")

@@ -78,40 +78,6 @@ class ContigArrays:
         return cls(*children)
 
 
-def _probe_neighbors(thi, tlo, k, direction):
-    """For each table entry, lower-bound indices + hit masks of its 4
-    oriented extensions, shaped [4, C2].  direction: 'succ' (suffix·b)
-    or 'pred' (b·prefix).
-
-    Layout note: the base axis is FIRST.  TPU tiling pads the minor
-    dimension to 128 lanes, so an [C2, 4] array would carry a 32x
-    padding blowup (measured: a single [4, 8.4M, 4] temp ballooned to
-    16GB and OOMed compilation); [4, C2] pads only 2x on the sublane
-    axis."""
-    hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
-    lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
-    hs = 2 * (k - 1)
-    phs, pls = [], []
-    for b in range(4):
-        bb = jnp.uint32(b)
-        if direction == "succ":
-            phs.append(((thi << 2) | (tlo >> 30)) & hi_mask)
-            pls.append(((tlo << 2) | bb) & lo_mask)
-        else:
-            lh = thi >> 2
-            ll = (tlo >> 2) | (thi << 30)
-            if hs >= 32:
-                lh = lh | (bb << (hs - 32))
-            else:
-                ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
-            phs.append(lh)
-            pls.append(ll)
-    qh = jnp.stack(phs, axis=0)  # [4, C2]
-    ql = jnp.stack(pls, axis=0)
-    idx, hit = lookup_hilo(thi, tlo, qh.reshape(-1), ql.reshape(-1))
-    return idx.reshape(qh.shape), hit.reshape(qh.shape)
-
-
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def _nodes_stage(spec: Spectrum, k: int, canonical: bool):
     """Stage A: oriented node table (both strands, palindromes deduped)."""
@@ -141,33 +107,95 @@ def _nodes_stage(spec: Spectrum, k: int, canonical: bool):
 
 @partial(jax.jit, static_argnames=("k",))
 def _links_stage(node_hi, node_lo, k: int):
-    """Stage B: degrees + mergeable links from the 4 SUCCESSOR probes
-    only.  Every predecessor edge mirrors a successor edge (u -> v via
-    base b  <=>  v's pred probe with u's top base hits u), so indeg and
-    the unique-pred lane are scatter-reductions over the succ edge set
-    instead of a second 4-probe join — the pred join was half the links
-    cost at 25M-lane tables (round-4 condensation profile: links 15.1s
-    of a 30.8s rebuild at 1M reads)."""
+    """Stage B: degrees + mergeable links + successor directory from a
+    single (k-1)-mer GROUP JOIN.
+
+    Every edge u -> v is 'suffix_{k-1}(u) == prefix_{k-1}(v)', so one
+    sort of 2*C2 records — each node contributes its suffix key (as
+    source) and its prefix key (as target) — groups every edge
+    endpoint: within a group of equal (k-1)-mers with S sources and P
+    targets, outdeg(source) = P, indeg(target) = S, and the mergeable
+    next/prev link exists exactly when S == P == 1.  This replaces the
+    4-probe sort-merge join (5*C2 lanes) + degree scatters (100M+
+    updates) of the earlier designs: links was 15.1s of the 1M-read
+    condensation as a two-sided join, 10.0s with scatter-derived
+    degrees, and the group join sorts 2*C2 lanes once.
+
+    Returns (next_link, prev_link, rec_lane, firstP, p_cnt):
+    rec_lane[2*C2] is the sorted records' node-lane payload, and
+    firstP/p_cnt[C2] point each node at its successor run inside it —
+    the reduce stage gathers tail-contig edges from this directory
+    instead of a probe table."""
     C2 = node_hi.shape[0]
-    real = ~((node_hi == SENTINEL) & (node_lo == SENTINEL))
-    s_idx, s_hit = _probe_neighbors(node_hi, node_lo, k, "succ")
-    s_hit = s_hit & real[None, :]
-    outdeg = s_hit.sum(axis=0)
-    succ1 = jnp.where(s_hit, s_idx, 0).sum(axis=0)  # valid when outdeg==1
-    # indeg[v] = #succ edges into v; pred1[v] = source lane sum (the
-    # unique pred's lane when indeg == 1).  Dead query lanes dump into
-    # slot C2.
-    tgt = jnp.where(s_hit, s_idx, C2).reshape(-1)
-    src = jax.lax.broadcasted_iota(jnp.int32, (4, C2), 1).reshape(-1)
-    indeg = jnp.zeros(C2 + 1, jnp.int32).at[tgt].add(1)[:C2]
-    pred1 = jnp.zeros(C2 + 1, jnp.int32).at[tgt].add(src)[:C2]
-    next_link = jnp.where(
-        (outdeg == 1) & (indeg[jnp.clip(succ1, 0, C2 - 1)] == 1), succ1, -1
+    m = 2 * C2
+    pad = (node_hi == SENTINEL) & (node_lo == SENTINEL)
+    # suffix key: low 2(k-1) bits;  prefix key: value >> 2
+    sb = 2 * (k - 1)
+    if sb > 32:
+        suf_h = node_hi & jnp.uint32((1 << (sb - 32)) - 1)
+        suf_l = node_lo
+    else:
+        suf_h = jnp.zeros_like(node_hi)
+        suf_l = (
+            node_lo
+            if sb == 32
+            else node_lo & jnp.uint32((1 << sb) - 1)
+        )
+    pre_h = node_hi >> 2
+    pre_l = (node_lo >> 2) | (node_hi << 30)
+    # pads carry the all-ones key (unreachable: real keys < 2^60)
+    suf_h = jnp.where(pad, SENTINEL, suf_h)
+    suf_l = jnp.where(pad, SENTINEL, suf_l)
+    pre_h = jnp.where(pad, SENTINEL, pre_h)
+    pre_l = jnp.where(pad, SENTINEL, pre_l)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0)[:, 0]
+    kh = jnp.concatenate([suf_h, pre_h])
+    kl = jnp.concatenate([suf_l, pre_l])
+    side = jnp.concatenate(
+        [jnp.zeros(C2, jnp.uint32), jnp.ones(C2, jnp.uint32)]
     )
-    prev_link = jnp.where(
-        (indeg == 1) & (outdeg[jnp.clip(pred1, 0, C2 - 1)] == 1), pred1, -1
+    kh, kl, side_s, lane_s = jax.lax.sort(
+        (kh, kl, side, jnp.concatenate([lane, lane])), num_keys=3
     )
-    return next_link, prev_link, s_idx, s_hit
+
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    valid = ~((kh == SENTINEL) & (kl == SENTINEL))
+    new_group = jnp.ones(m, bool).at[1:].set(
+        (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1])
+    )
+    g0 = jax.lax.cummax(jnp.where(new_group, iota_m, 0))
+    is_last = jnp.ones(m, bool).at[:-1].set(new_group[1:])
+    end = -jnp.flip(
+        jax.lax.cummax(jnp.flip(-jnp.where(is_last, iota_m, m)))
+    )
+    c0 = jnp.cumsum((side_s == 0).astype(jnp.int32))  # inclusive
+    c0_before = jnp.where(g0 > 0, c0[jnp.clip(g0 - 1, 0, m - 1)], 0)
+    s_cnt = c0[jnp.clip(end, 0, m - 1)] - c0_before
+    p_cnt = (end - g0 + 1) - s_cnt
+    firstP = g0 + s_cnt
+
+    single = valid & (s_cnt == 1) & (p_cnt == 1)
+    next_cand = jnp.where(
+        single & (side_s == 0),
+        lane_s[jnp.clip(firstP, 0, m - 1)],
+        -1,
+    )
+    prev_cand = jnp.where(single & (side_s == 1), lane_s[g0], -1)
+    fp_out = jnp.where((side_s == 0) & valid, firstP, 0)
+    pc_out = jnp.where((side_s == 0) & valid, p_cnt, 0)
+
+    # unsort: every table lane has exactly two records (suffix then
+    # prefix under key lane*2 + side)
+    key2 = (lane_s.astype(jnp.uint32) << 1) | side_s
+    _, u_next, u_prev, u_fp, u_pc = jax.lax.sort(
+        (key2, next_cand, prev_cand, fp_out, pc_out), num_keys=1
+    )
+    next_link = u_next[0::2]
+    prev_link = u_prev[1::2]
+    firstP_lane = u_fp[0::2]
+    pcnt_lane = u_pc[0::2]
+    return next_link, prev_link, lane_s, firstP_lane, pcnt_lane
 
 
 def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> ContigArrays:
@@ -184,7 +212,9 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
     min-propagation cycle-breaking pass (full log2(C2) rounds) run,
     followed by one more label pass on the cut links."""
     node_hi, node_lo, node_count, n_nodes = _nodes_stage(spec, k, canonical)
-    next_link, prev_link, s_idx, s_hit = _links_stage(node_hi, node_lo, k)
+    next_link, prev_link, rec_lane, firstP, p_cnt = _links_stage(
+        node_hi, node_lo, k
+    )
     ptr, dist, has_cycle = _label_stage(prev_link)
     if bool(has_cycle):
         prev2 = _cycle_fix(prev_link)
@@ -193,7 +223,7 @@ def build_contig_arrays(spec: Spectrum, k: int, canonical: bool = True) -> Conti
         prev2 = prev_link
     return _reduce_stage(
         node_hi, node_lo, node_count, n_nodes,
-        prev2, ptr, dist, s_idx, s_hit, k, canonical,
+        prev2, ptr, dist, rec_lane, firstP, p_cnt, k, canonical,
     )
 
 
@@ -255,7 +285,7 @@ def _cycle_fix(prev_link):
 @partial(jax.jit, static_argnames=("k", "canonical"))
 def _reduce_stage(
     node_hi, node_lo, node_count, n_nodes,
-    prev2, head_ptr, dist, s_idx, s_hit, k: int, canonical: bool,
+    prev2, head_ptr, dist, rec_lane, firstP, p_cnt, k: int, canonical: bool,
 ) -> ContigArrays:
     """Per-contig reductions, edges, rc pairing from the labeled nodes."""
     C2 = node_hi.shape[0]
@@ -315,13 +345,21 @@ def _reduce_stage(
         klen > 0, csum.astype(jnp.float32) / klen.astype(jnp.float32), 0.0
     )
 
-    # ---- 5. contig edges from tail probes (edges are [4, C2]) --------
+    # ---- 5. contig edges from the links stage's successor directory
+    # (packed at the leading lanes of the [4, C2] edge array; every
+    # consumer treats -1 as absent, none indexes by base)
     tl = jnp.clip(tail_lane, 0, C2 - 1)
-    t_sidx = s_idx[:, tl]  # [4, C2]
-    t_shit = s_hit[:, tl] & (tail_lane >= 0)[None, :]
-    out_edges = jnp.where(
-        t_shit, node_cid[jnp.clip(t_sidx, 0, C2 - 1)], -1
-    )
+    m = rec_lane.shape[0]
+    fp_t = firstP[tl]
+    pc_t = p_cnt[tl]
+    edge_rows = []
+    for j in range(4):
+        v_lane = rec_lane[jnp.clip(fp_t + j, 0, m - 1)]
+        hit_j = (j < pc_t) & (tail_lane >= 0)
+        edge_rows.append(
+            jnp.where(hit_j, node_cid[jnp.clip(v_lane, 0, C2 - 1)], -1)
+        )
+    out_edges = jnp.stack(edge_rows, axis=0)
 
     # ---- 6. reverse-complement twin: the contig whose first k-mer is
     # revcomp(this contig's last k-mer) (canonical mode; self in

@@ -186,15 +186,16 @@ def _links_stage(node_hi, node_lo, k: int):
     pc_out = jnp.where((side_s == 0) & valid, p_cnt, 0)
 
     # unsort: every table lane has exactly two records (suffix then
-    # prefix under key lane*2 + side)
+    # prefix under key lane*2 + side).  Permutation sort + gathers, not
+    # a 5-operand sort: transient HBM discipline (see
+    # tipclip._device_clip_remap — wide sorts at 50M lanes provoke
+    # pass-2 allocator-fragmentation stalls).
     key2 = (lane_s.astype(jnp.uint32) << 1) | side_s
-    _, u_next, u_prev, u_fp, u_pc = jax.lax.sort(
-        (key2, next_cand, prev_cand, fp_out, pc_out), num_keys=1
-    )
-    next_link = u_next[0::2]
-    prev_link = u_prev[1::2]
-    firstP_lane = u_fp[0::2]
-    pcnt_lane = u_pc[0::2]
+    _, perm = jax.lax.sort((key2, iota_m), num_keys=1)
+    next_link = next_cand[perm[0::2]]
+    prev_link = prev_cand[perm[1::2]]
+    firstP_lane = fp_out[perm[0::2]]
+    pcnt_lane = pc_out[perm[0::2]]
     return next_link, prev_link, lane_s, firstP_lane, pcnt_lane
 
 
@@ -307,11 +308,15 @@ def _reduce_stage(
     # then extracted with two compaction SORTS (run starts to the front,
     # run ends to the front) — sorts beat scatters/gathers by ~10-60x on
     # this hardware (see ops/count._unique_reduce).
+    # Transient-HBM discipline (see tipclip._device_clip_remap): each
+    # compaction sorts (keys, iota) only and gathers payloads through
+    # the permutation, instead of carrying 2-3 payload operands.
     BIG = jnp.int32(0x7FFFFFFF)
     key_cid = jnp.where(real, node_cid, BIG)
-    s_cid, s_off, s_lane, s_cnt = jax.lax.sort(
-        (key_cid, jnp.where(real, dist, 0), iota, node_count), num_keys=2
+    s_cid, s_off, s_lane = jax.lax.sort(
+        (key_cid, jnp.where(real, dist, 0), iota), num_keys=2
     )
+    s_cnt = node_count[s_lane]
     prev_diff = jnp.ones(C2, bool).at[1:].set(s_cid[1:] != s_cid[:-1])
     next_diff = jnp.ones(C2, bool).at[:-1].set(s_cid[1:] != s_cid[:-1])
     # pad lanes form their own run, clamping the last real run's end
@@ -323,19 +328,15 @@ def _reduce_stage(
 
     MSB = jnp.uint32(0x80000000)
     skey_s = jnp.where(r_start & s_real, pos, pos | MSB)
-    _, h_lane, h_pos, h_cb = jax.lax.sort(
-        (skey_s, s_lane, pos.astype(jnp.int32), ccb), num_keys=1
-    )
+    _, perm_s = jax.lax.sort((skey_s, pos.astype(jnp.int32)), num_keys=1)
+    h_lane = s_lane[perm_s]
+    h_pos = perm_s
+    h_cb = ccb[perm_s]
     skey_e = jnp.where(r_end & s_real, pos, pos | MSB)
-    _, e_lane_c, e_pos, e_ce = jax.lax.sort(
-        (
-            skey_e,
-            s_lane,
-            pos.astype(jnp.int32),
-            ccb + s_cnt,  # counts through lane (inclusive)
-        ),
-        num_keys=1,
-    )
+    _, perm_e = jax.lax.sort((skey_e, pos.astype(jnp.int32)), num_keys=1)
+    e_lane_c = s_lane[perm_e]
+    e_pos = perm_e
+    e_ce = (ccb + s_cnt)[perm_e]  # counts through lane (inclusive)
     valid_c = jnp.arange(C2, dtype=jnp.int32) < n_contigs
     head_lane = jnp.where(valid_c, h_lane, -1)
     tail_lane = jnp.where(valid_c, e_lane_c, -1)

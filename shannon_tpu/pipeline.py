@@ -135,7 +135,11 @@ def _spectrum_device(
         config.correction_rounds,
         canonical=canonical,
     )
-    spec.hi.block_until_ready()
+    # 1-element fetch: on the axon runtime block_until_ready does NOT
+    # force remote execution, so without this the correction chain's
+    # real runtime lands in whichever later stage fetches first
+    # (tc_condense_s absorbed it — round-4 attribution fix)
+    np.asarray(spec.hi[-1:])
     t2 = _time.perf_counter()
     if timer:
         timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))

@@ -308,15 +308,18 @@ def _reduce_stage(
     # then extracted with two compaction SORTS (run starts to the front,
     # run ends to the front) — sorts beat scatters/gathers by ~10-60x on
     # this hardware (see ops/count._unique_reduce).
-    # Transient-HBM discipline (see tipclip._device_clip_remap): each
-    # compaction sorts (keys, iota) only and gathers payloads through
-    # the permutation, instead of carrying 2-3 payload operands.
+    # (Payload-carrying sorts, NOT permutation+gathers: measured at the
+    # 25M-lane 1M table, three permutation gathers cost ~3.5s more per
+    # pass than two extra sort operands — gathers ~2x a sort pass per
+    # lane on this part.  The transient-HBM permutation discipline is
+    # reserved for the programs whose wide sorts actually provoked the
+    # pass-2 fragmentation stall: tipclip._device_clip_remap and the
+    # links unsort.)
     BIG = jnp.int32(0x7FFFFFFF)
     key_cid = jnp.where(real, node_cid, BIG)
-    s_cid, s_off, s_lane = jax.lax.sort(
-        (key_cid, jnp.where(real, dist, 0), iota), num_keys=2
+    s_cid, s_off, s_lane, s_cnt = jax.lax.sort(
+        (key_cid, jnp.where(real, dist, 0), iota, node_count), num_keys=2
     )
-    s_cnt = node_count[s_lane]
     prev_diff = jnp.ones(C2, bool).at[1:].set(s_cid[1:] != s_cid[:-1])
     next_diff = jnp.ones(C2, bool).at[:-1].set(s_cid[1:] != s_cid[:-1])
     # pad lanes form their own run, clamping the last real run's end
@@ -328,15 +331,19 @@ def _reduce_stage(
 
     MSB = jnp.uint32(0x80000000)
     skey_s = jnp.where(r_start & s_real, pos, pos | MSB)
-    _, perm_s = jax.lax.sort((skey_s, pos.astype(jnp.int32)), num_keys=1)
-    h_lane = s_lane[perm_s]
-    h_pos = perm_s
-    h_cb = ccb[perm_s]
+    _, h_lane, h_pos, h_cb = jax.lax.sort(
+        (skey_s, s_lane, pos.astype(jnp.int32), ccb), num_keys=1
+    )
     skey_e = jnp.where(r_end & s_real, pos, pos | MSB)
-    _, perm_e = jax.lax.sort((skey_e, pos.astype(jnp.int32)), num_keys=1)
-    e_lane_c = s_lane[perm_e]
-    e_pos = perm_e
-    e_ce = (ccb + s_cnt)[perm_e]  # counts through lane (inclusive)
+    _, e_lane_c, e_pos, e_ce = jax.lax.sort(
+        (
+            skey_e,
+            s_lane,
+            pos.astype(jnp.int32),
+            ccb + s_cnt,  # counts through lane (inclusive)
+        ),
+        num_keys=1,
+    )
     valid_c = jnp.arange(C2, dtype=jnp.int32) < n_contigs
     head_lane = jnp.where(valid_c, h_lane, -1)
     tail_lane = jnp.where(valid_c, e_lane_c, -1)

@@ -35,7 +35,12 @@ ts = simulate_transcripts(rng, n=n_tr, length=tlen)
 t0 = time.perf_counter()
 reads = sample_reads(rng, ts, abundances=abund, coverage=cov, read_length=100, error_rate=0.01)
 print(f"simulated {len(reads)} reads in {time.perf_counter()-t0:.1f}s", flush=True)
-cfg = AssemblyConfig(min_abundance=min_abund)
+cfg = AssemblyConfig(
+    min_abundance=min_abund,
+    batch_reads=int(
+        os.environ.get("SHANNON_E2E_BATCH_READS", AssemblyConfig.batch_reads)
+    ),
+)
 out = {}
 # SHANNON_E2E_PASSES=1: one pass only, recorded under BOTH labels with
 # single_pass=true — for scale points where the second in-process pass

@@ -259,6 +259,82 @@ long sti_parse_pack(const char* path, int32_t pad_len, uint8_t* codes,
     return rec;
 }
 
+// Parse + encode records [skip, skip + max_records) by RECORD INDEX
+// (the pair-aligned multi-host ingest primitive: the left mate file is
+// byte-range-split, the right file is then read at the SAME record
+// range so mates stay co-resident on one host — byte-splitting the two
+// files independently could misalign them).  The skip phase is a pure
+// line scan (no encoding), so each host pays O(file) scanning but only
+// O(file/H) parsing + encoding.  Returns records written or -1.
+long sti_parse_pack_records(const char* path, long skip, int32_t pad_len,
+                            uint8_t* codes, int32_t* lengths,
+                            long max_records) {
+    Reader r(path);
+    if (!r.f) return -1;
+    long first;
+    Fmt fmt = sniff(r, first);
+    if (fmt == FMT_BAD) return -1;
+    long rec = 0;
+    if (fmt == FMT_FASTA) {
+        long seen = 0;  // records whose header has been consumed
+        int32_t len = 0;
+        uint8_t* row = nullptr;
+        bool in_rec = skip == 0;  // sniff consumed record 0's header
+        if (in_rec) {
+            row = codes;
+            len = 0;
+        }
+        seen = 1;
+        long n;
+        auto close_rec = [&]() {
+            for (int32_t i = len; i < pad_len; ++i) row[i] = 4;
+            lengths[rec] = len;
+            ++rec;
+        };
+        while ((n = r.line()) >= 0) {
+            if (n > 0 && r.buf[0] == '>') {
+                if (in_rec) {
+                    if (rec >= max_records) return rec;
+                    close_rec();
+                }
+                in_rec = seen >= skip && rec < max_records;
+                ++seen;
+                if (in_rec) {
+                    row = codes + rec * (long)pad_len;
+                    len = 0;
+                }
+            } else if (in_rec) {
+                for (long i = 0; i < n && len < pad_len; ++i)
+                    row[len++] = LUT.t[(uint8_t)r.buf[i]];
+            }
+        }
+        if (in_rec && rec < max_records) close_rec();
+        return rec;
+    }
+    // FASTQ: 4 lines per record; sniff consumed record 0's header
+    for (long i = 0; i < skip; ++i) {
+        if (r.line() < 0 || r.line() < 0 || r.line() < 0) return -1;
+        long h = r.line();  // next header
+        if (h < 0) return 0;
+        if (h == 0 || r.buf[0] != '@') return -1;
+    }
+    for (;;) {
+        long n = r.line();  // sequence
+        if (n < 0) return -1;
+        if (rec >= max_records) break;
+        encode_row(r.buf, n, pad_len, codes + rec * (long)pad_len,
+                   &lengths[rec]);
+        ++rec;
+        if (r.line() < 0) return -1;  // '+'
+        if (r.line() < 0) return -1;  // quals
+        long h = r.line();            // next header (or EOF)
+        if (h < 0) break;
+        if (h == 0 || r.buf[0] != '@') return -1;
+        if (rec >= max_records) break;
+    }
+    return rec;
+}
+
 // Records whose header line starts in byte range [lo, hi); -1 on error.
 long sti_range_count(const char* path, long lo, long hi) {
     Fmt fmt = sniff_file(path);

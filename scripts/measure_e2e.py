@@ -21,12 +21,13 @@ from shannon_tpu.utils.timing import StageTimer
 
 rng = np.random.default_rng(11)
 # dataset/config knobs for scale points (SHANNON_E2E_NTR: transcriptome
-# size; SHANNON_E2E_MIN_ABUND: abundance cutoff — >=2 is standard at
-# the very high per-transcript coverage a multi-million-read run of a
-# small simulated transcriptome implies, and keeps the pre-clip node
-# table under the documented ~7.3M-lane device ceiling)
+# size; SHANNON_E2E_MIN_ABUND: abundance cutoff — 0 (default) = auto
+# from the count histogram, which engages at the deep coverage a
+# multi-million-read run of a small simulated transcriptome implies and
+# keeps the pre-clip node table under the documented ~7.3M-lane device
+# ceiling)
 n_tr = int(os.environ.get("SHANNON_E2E_NTR", 500))
-min_abund = int(os.environ.get("SHANNON_E2E_MIN_ABUND", 1))
+min_abund = int(os.environ.get("SHANNON_E2E_MIN_ABUND", 0))
 tlen = 1500
 cov = n_reads * 100 / (n_tr * tlen)
 abund = np.exp(rng.normal(0, 1, n_tr))
@@ -63,6 +64,10 @@ if passes < 2:
     out["cold"] = out["steady"]
     out["single_pass"] = True
 out["stats"] = res.stats
+# verify recovery against the simulated truth (VERDICT r4: the scale
+# artifacts claimed "all transcripts recovered" without evaluating)
+from shannon_tpu.eval import evaluate
+out["quality"] = evaluate(ts, [t.seq for t in res.transcripts], k=24)
 out["n_reads"] = len(reads)
 out["distinct_programs"] = len(programs.keys)
 # ru_maxrss is KiB on Linux, bytes on macOS

@@ -1,28 +1,31 @@
-"""2-process `jax.distributed` smoke test (CPU backend) — SURVEY.md §8
-M5, BASELINE row 3; extended per VERDICT r3 item 2 to cover the FULL
-pipeline, FASTA to FASTA.
+"""Multi-process `jax.distributed` smoke test (CPU backend) — SURVEY.md §8
+M5, BASELINE row 3; extended per VERDICT r3 item 2 (full pipeline,
+FASTA to FASTA) and VERDICT r4 item 3 (component-ownership back half,
+proven on 2 AND 4 processes with a measured communication-volume
+comparison against the all-gather mode).
 
-Proves the multi-process branch actually executes end-to-end:
+Each child process:
 
-  * `init_distributed` runs `jax.distributed.initialize` in each of two
-    localhost processes (coordinator env vars);
-  * each process byte-range-ingests ITS half of one FASTA
-    (`host_byte_range` + `native.pack_file_range` — a record belongs to
-    the range holding its header byte, so every read lands on exactly
-    one process);
-  * the sharded count (`count_spectrum_sharded`, hash all_to_all +
-    merge) runs over the 2-process global mesh;
-  * both processes assert the replicated merged spectrum equals the
-    single-process oracle spectrum of the whole file;
-  * then the FULL `run_pipeline` runs multi-process (global-mesh packed
-    counting -> per-host graph -> per-host threading of the local reads
-    -> `gather_evidence` all-gather -> deterministic back half), and
-    BOTH processes assert transcript-set equality (up to RC) with the
-    single-process oracle assembly of the whole read set; process 0's
-    written transcripts.fasta is checked by the parent too.
+  * `init_distributed` runs `jax.distributed.initialize` (coordinator
+    env vars set by the parent);
+  * byte-range-ingests ITS 1/N of one FASTA (`host_byte_range` +
+    `native.pack_file_range` — a record belongs to the range holding
+    its header byte, so every read lands on exactly one process);
+  * runs the sharded count (`count_spectrum_sharded`, hash all_to_all +
+    merge) over the N-process global mesh and asserts the replicated
+    merged spectrum equals the single-process oracle spectrum;
+  * runs the FULL `run_pipeline` TWICE — multihost_backhalf='ownership'
+    (evidence routed to component owners with one all_to_all, each host
+    assembles only owned components, transcripts union-gathered) and
+    ='replicate' (the r4 all-gather-everything mode) — asserting
+    transcript-set parity (up to RC) with the single-process oracle
+    assembly for BOTH; process 0's written transcripts.fasta is checked
+    by the parent too.
 
-Parent mode (no args): simulates the dataset, launches the pair,
-collects results, writes MULTIHOST_SMOKE.json at the repo root.
+Parent mode (no args): simulates the dataset, launches a 2-process
+group (both modes) then a 4-process group (ownership), collects
+results + the ownership-vs-replicate communication volumes from
+stats.json, writes MULTIHOST_SMOKE.json at the repo root.
 Child mode: SMOKE_ROLE=child + coordinator env (set by the parent).
 """
 
@@ -55,7 +58,8 @@ def child() -> None:
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    assert jax.process_count() == 2, jax.process_count()
+    n_expected = int(os.environ["JAX_NUM_PROCESSES"])
+    assert jax.process_count() == n_expected, jax.process_count()
     pid = jax.process_index()
 
     from shannon_tpu.native import pack_file_range
@@ -100,29 +104,33 @@ def child() -> None:
     )
     assert np.array_equal(cnts, exp["counts"]), f"proc {pid}: counts differ"
 
-    # ---- phase 2: FULL pipeline, FASTA to FASTA (VERDICT r3 item 2)
+    # ---- phase 2: FULL pipeline, FASTA to FASTA, both back-half modes
     from shannon_tpu.config import AssemblyConfig
     from shannon_tpu.io.dna import revcomp_str
     from shannon_tpu.pipeline import run_pipeline
 
-    out_dir = Path(os.environ["SMOKE_OUT"]) / "pipeline_out"
-    cfg = AssemblyConfig(
-        k=K,
-        kmer_capacity=1 << 15,
-        out_dir=str(out_dir),
-        read_pad_length=PAD,
-        min_transcript_length=200,
-    )
-    res = run_pipeline(cfg, single=fasta, backend="device")
-    got = {min(t.seq, revcomp_str(t.seq)) for t in res.transcripts}
     exp_t = set(
         json.loads(Path(os.environ["SMOKE_EXPECTED_T"]).read_text())
     )
-    assert got == exp_t, (
-        f"proc {pid}: multi-process transcript set != single-process "
-        f"oracle ({len(got)} vs {len(exp_t)}; "
-        f"missing {len(exp_t - got)}, extra {len(got - exp_t)})"
-    )
+    n_t = {}
+    for mode in ("ownership", "replicate"):
+        out_dir = Path(os.environ["SMOKE_OUT"]) / f"pipeline_{mode}"
+        cfg = AssemblyConfig(
+            k=K,
+            kmer_capacity=1 << 15,
+            out_dir=str(out_dir),
+            read_pad_length=PAD,
+            min_transcript_length=200,
+            multihost_backhalf=mode,
+        )
+        res = run_pipeline(cfg, single=fasta, backend="device")
+        got = {min(t.seq, revcomp_str(t.seq)) for t in res.transcripts}
+        assert got == exp_t, (
+            f"proc {pid} mode {mode}: transcript set != single-process "
+            f"oracle ({len(got)} vs {len(exp_t)}; "
+            f"missing {len(exp_t - got)}, extra {len(got - exp_t)})"
+        )
+        n_t[mode] = len(res.transcripts)
 
     Path(os.environ["SMOKE_OUT"], f"ok{pid}.json").write_text(
         json.dumps(
@@ -132,56 +140,23 @@ def child() -> None:
                 "local_reads": int(n_local),
                 "byte_range": [int(lo), int(hi)],
                 "n_kmers": n,
-                "n_transcripts": len(res.transcripts),
+                "n_transcripts": n_t["ownership"],
+                "n_transcripts_by_mode": n_t,
             }
         )
     )
     print(
-        f"child {pid}: OK ({n_local} local reads, {n} kmers, "
-        f"{len(res.transcripts)} transcripts)",
+        f"child {pid}/{jax.process_count()}: OK ({n_local} local reads, "
+        f"{n} kmers, {n_t} transcripts)",
         flush=True,
     )
 
 
-def parent() -> None:
-    import shutil
-
-    from shannon_tpu.config import AssemblyConfig
-    from shannon_tpu.io.dna import revcomp_str
-    from shannon_tpu.io.fastx import write_fasta
-    from shannon_tpu.oracle import assemble_oracle
-    from shannon_tpu.oracle.counting import count_kmers
-    from shannon_tpu.sim import sample_reads, simulate_transcripts
-
-    work = Path("/tmp/multihost_smoke")
-    work.mkdir(exist_ok=True)
+def _launch_group(n_procs: int, work: Path, fasta: Path, expected: Path,
+                  expected_t: Path) -> tuple[bool, list, list[str]]:
+    """Launch one N-process child group; returns (ok, markers, outputs)."""
     for stale in work.glob("ok*.json"):
         stale.unlink()
-    shutil.rmtree(work / "pipeline_out", ignore_errors=True)
-    rng = np.random.default_rng(5)
-    ts = simulate_transcripts(rng, n=20, length=600)
-    reads = sample_reads(rng, ts, coverage=8.0, read_length=60,
-                         error_rate=0.01)
-    fasta = work / "reads.fasta"
-    write_fasta(fasta, [(f"r{i}", s) for i, s in enumerate(reads)])
-
-    counts = count_kmers(reads, K, strand_specific=False)
-    keys = np.fromiter(counts.keys(), np.uint64, len(counts))
-    vals = np.fromiter(counts.values(), np.int64, len(counts)).astype(
-        np.int32
-    )
-    order = np.argsort(keys)
-    expected = work / "expected.npz"
-    np.savez(expected, kmers=keys[order], counts=vals[order])
-
-    # single-process oracle assembly of the WHOLE read set = the
-    # transcript-parity target for the 2-process pipeline (device ==
-    # oracle is pinned by the test suite)
-    oracle_res = assemble_oracle(reads, AssemblyConfig(k=K))
-    expected_t = sorted(oracle_res.canonical_set())
-    expected_t_path = work / "expected_transcripts.json"
-    expected_t_path.write_text(json.dumps(expected_t))
-
     with socket.socket() as s:  # free localhost port
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -199,15 +174,14 @@ def parent() -> None:
         "SMOKE_ROLE": "child",
         "SMOKE_FASTA": str(fasta),
         "SMOKE_EXPECTED": str(expected),
-        "SMOKE_EXPECTED_T": str(expected_t_path),
+        "SMOKE_EXPECTED_T": str(expected_t),
         "SMOKE_OUT": str(work),
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
-        "JAX_NUM_PROCESSES": "2",
+        "JAX_NUM_PROCESSES": str(n_procs),
         "PYTHONPATH": str(REPO),
     }
-    t0 = time.perf_counter()
     procs = [
         subprocess.Popen(
             [sys.executable, __file__],
@@ -217,7 +191,7 @@ def parent() -> None:
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -229,51 +203,142 @@ def parent() -> None:
         outs.append(out)
     ok = all(p.returncode == 0 for p in procs)
     markers = []
-    for i in range(2):
+    for i in range(n_procs):
         mp = work / f"ok{i}.json"
         if mp.exists():
             markers.append(json.loads(mp.read_text()))
-    ok = ok and len(markers) == 2
+    return ok and len(markers) == n_procs, markers, outs
 
-    # parent-side check of the artifact process 0 wrote: the one
-    # transcripts.fasta of the multi-process run equals the oracle set
-    fasta_out = work / "pipeline_out" / "transcripts.fasta"
-    fasta_parity = False
-    if fasta_out.exists():
-        from shannon_tpu.io.fastx import read_fastx
 
-        got = {
-            min(seq, revcomp_str(seq)) for _h, seq in read_fastx(fasta_out)
+def parent() -> None:
+    import shutil
+
+    from shannon_tpu.config import AssemblyConfig
+    from shannon_tpu.io.dna import revcomp_str
+    from shannon_tpu.io.fastx import write_fasta
+    from shannon_tpu.oracle import assemble_oracle
+    from shannon_tpu.oracle.counting import count_kmers
+    from shannon_tpu.sim import sample_reads, simulate_transcripts
+
+    work = Path("/tmp/multihost_smoke")
+    work.mkdir(exist_ok=True)
+    rng = np.random.default_rng(5)
+    ts = simulate_transcripts(rng, n=20, length=600)
+    reads = sample_reads(rng, ts, coverage=8.0, read_length=60,
+                         error_rate=0.01)
+    fasta = work / "reads.fasta"
+    write_fasta(fasta, [(f"r{i}", s) for i, s in enumerate(reads)])
+
+    counts = count_kmers(reads, K, strand_specific=False)
+    keys = np.fromiter(counts.keys(), np.uint64, len(counts))
+    vals = np.fromiter(counts.values(), np.int64, len(counts)).astype(
+        np.int32
+    )
+    order = np.argsort(keys)
+    expected = work / "expected.npz"
+    np.savez(expected, kmers=keys[order], counts=vals[order])
+
+    # single-process oracle assembly of the WHOLE read set = the
+    # transcript-parity target for the multi-process pipeline (device ==
+    # oracle is pinned by the test suite)
+    oracle_res = assemble_oracle(reads, AssemblyConfig(k=K))
+    expected_t = sorted(oracle_res.canonical_set())
+    expected_t_path = work / "expected_transcripts.json"
+    expected_t_path.write_text(json.dumps(expected_t))
+
+    t0 = time.perf_counter()
+    groups = {}
+    all_ok = True
+    outs_by_group: dict[int, list[str]] = {}
+    for n_procs in (2, 4):
+        shutil.rmtree(work / "pipeline_ownership", ignore_errors=True)
+        shutil.rmtree(work / "pipeline_replicate", ignore_errors=True)
+        ok, markers, outs = _launch_group(
+            n_procs, work, fasta, expected, expected_t_path
+        )
+        outs_by_group[n_procs] = outs
+
+        # parent-side check of the artifacts process 0 wrote: ownership
+        # and replicate runs both equal the oracle set
+        fasta_parity = {}
+        volumes = None
+        for mode in ("ownership", "replicate"):
+            fasta_out = work / f"pipeline_{mode}" / "transcripts.fasta"
+            par = False
+            if fasta_out.exists():
+                from shannon_tpu.io.fastx import read_fastx
+
+                got = {
+                    min(seq, revcomp_str(seq))
+                    for _h, seq in read_fastx(fasta_out)
+                }
+                par = got == set(expected_t)
+            fasta_parity[mode] = par
+            stats_p = work / f"pipeline_{mode}" / "stats.json"
+            if mode == "ownership" and stats_p.exists():
+                st = json.loads(stats_p.read_text())
+                asm = st.get("stages", {}).get("assembly", {})
+                volumes = {
+                    k: asm[k]
+                    for k in (
+                        "ownership_sent_bytes",
+                        "ownership_padded_bytes",
+                        "replicate_equiv_bytes",
+                        "owned_paths",
+                        "local_paths",
+                        "owned_components",
+                    )
+                    if k in asm
+                }
+        ok = ok and all(fasta_parity.values())
+        all_ok = all_ok and ok
+        groups[str(n_procs)] = {
+            "ok": ok,
+            "fasta_parity": fasta_parity,
+            "comm_volumes_proc0": volumes,
+            "processes": markers,
         }
-        fasta_parity = got == set(expected_t)
-    ok = ok and fasta_parity
+
     result = {
-        "ok": ok,
+        "ok": all_ok,
         "wall_s": round(time.perf_counter() - t0, 1),
         "n_reads": len(reads),
         "n_kmers": int(len(keys)),
         "n_transcripts_expected": len(expected_t),
-        "fasta_parity": fasta_parity,
-        "backend": "cpu (2 localhost processes, jax.distributed)",
-        "processes": markers,
+        "fasta_parity": all(
+            g["fasta_parity"].get("ownership", False)
+            and g["fasta_parity"].get("replicate", True)
+            for g in groups.values()
+        ),
+        "backend": "cpu (localhost processes, jax.distributed)",
+        "groups": groups,
+        # legacy fields some checks read
+        "processes": groups["2"]["processes"],
         "what": (
-            "jax.distributed.initialize x2 -> per-process byte-range "
+            "jax.distributed.initialize xN -> per-process byte-range "
             "FASTA ingest (native pack_file_range) -> sharded count "
-            "(hash all_to_all) over the 2-process global mesh -> "
+            "(hash all_to_all) over the N-process global mesh -> "
             "replicated merged spectrum == single-process oracle; then "
-            "FULL run_pipeline multi-process (per-host threading -> "
-            "evidence all-gather -> deterministic back half) -> "
-            "transcript-set parity with the single-process oracle "
-            "assembly, asserted in both children AND on the "
-            "transcripts.fasta process 0 wrote"
+            "FULL run_pipeline in BOTH back-half modes — 'ownership' "
+            "(evidence all_to_all to component owners, per-host "
+            "assembly of owned components, transcript union-gather) "
+            "and 'replicate' (evidence all-gather, redundant assembly) "
+            "— transcript-set parity with the single-process oracle "
+            "asserted in every child AND on the transcripts.fasta "
+            "process 0 wrote, at 2 and 4 processes, with measured "
+            "ownership-vs-replicate communication volumes"
         ),
     }
     out_path = Path(os.environ.get("SMOKE_RESULT", REPO / "MULTIHOST_SMOKE.json"))
     out_path.write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
-    if not ok:
-        for i, out in enumerate(outs):
-            print(f"--- child {i} output ---\n{out}", file=sys.stderr)
+    if not all_ok:
+        for n_procs, outs in outs_by_group.items():
+            for i, out in enumerate(outs):
+                print(
+                    f"--- group {n_procs} child {i} output ---\n{out}",
+                    file=sys.stderr,
+                )
         sys.exit(1)
 
 

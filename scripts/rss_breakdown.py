@@ -90,7 +90,9 @@ def main() -> None:
     batch = pack_reads(reads, pad_length=cfg.read_pad_length)
     mark(
         "packed",
-        analytic_codes_mb=round(batch.codes.nbytes / 2**20, 1),
+        # packed-resident (round 5): the resident structure is the 2-bit
+        # word matrix; the uint8 code matrix no longer exists
+        analytic_words_mb=round(batch.words.nbytes / 2**20, 1),
     )
 
     from shannon_tpu.pipeline import _graph_device, _thread_device

@@ -33,8 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ss", "--strand-specific", action="store_true",
                    dest="strand_specific", help="strand-specific protocol")
-    p.add_argument("--min-abundance", type=int, default=1,
-                   help="drop k-mers below this count")
+    p.add_argument("--min-abundance", type=int, default=0,
+                   help="drop k-mers below this count; 0 (default) = "
+                        "auto from the count histogram (recall-guarded "
+                        "coverage ladder; shallow/clean data stays "
+                        "unfiltered)")
     p.add_argument("--sibling-ratio", type=float, default=0.1,
                    help="error-branch pruning ratio (0 disables)")
     p.add_argument(

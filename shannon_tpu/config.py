@@ -25,9 +25,15 @@ class AssemblyConfig:
     so a k-mer packs into a (hi, lo) uint32 pair (2 bits/base, 64 bits max);
     TPUs have no int64 lanes so all device code is two-word (SURVEY.md §8)."""
 
-    min_abundance: int = 1
+    min_abundance: int = 0
     """Drop k-mers with count < min_abundance before graph construction
-    (the Jellyfish-table abundance filter, SURVEY.md §3.1 extension_correction)."""
+    (the Jellyfish-table abundance filter, SURVEY.md §3.1
+    extension_correction).  0 (default) = auto: coverage-aware
+    threshold from the k-mer count histogram
+    (oracle.correction.choose_min_abundance — recall-guarded ladder
+    that only engages when the error band dominates AND coverage is
+    deep; shallow or error-free data resolves to 1, i.e. no filter).
+    An explicit value >= 1 pins the cutoff."""
 
     strand_specific: bool = False
     """If True, do not canonicalize k-mers (reads are from a stranded
@@ -183,15 +189,29 @@ class AssemblyConfig:
     """Skip stages whose serialized outputs already exist in out_dir
     (the reference's files-as-checkpoints contract, SURVEY.md §6)."""
 
+    multihost_backhalf: str = "ownership"
+    """Multi-process assembly strategy (no effect single-process):
+    'ownership' — each host assembles only the components it owns
+    (owner = component label mod H); evidence routes to owners with one
+    all_to_all and transcripts are union-gathered before the final
+    dedupe.  Communication and back-half compute scale with 1/H of the
+    graph instead of replicating everything (docs/SCALING.md item 3).
+    'replicate' — all-gather all evidence, every host assembles
+    redundantly (simple fallback; identical output)."""
+
     def __post_init__(self) -> None:
         if not (1 <= self.k <= 32):
             raise ValueError(f"k must be in [1, 32], got {self.k}")
-        if self.min_abundance < 1:
-            raise ValueError("min_abundance must be >= 1")
+        if self.min_abundance < 0:
+            raise ValueError("min_abundance must be >= 0 (0 = auto)")
         if not (0.0 <= self.sibling_ratio < 1.0):
             raise ValueError("sibling_ratio must be in [0, 1)")
         if not (0.0 <= self.error_branch_ratio < 1.0):
             raise ValueError("error_branch_ratio must be in [0, 1)")
+        if self.multihost_backhalf not in ("ownership", "replicate"):
+            raise ValueError(
+                "multihost_backhalf must be 'ownership' or 'replicate'"
+            )
 
     # --- (de)serialization for stage checkpoints -------------------------
     def to_json(self) -> str:

@@ -28,6 +28,19 @@ def _compact(spec: Spectrum, keep: jnp.ndarray) -> Spectrum:
     return Spectrum(hi=hi, lo=lo, count=cnt, n=real.sum(dtype=jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("max_count",))
+def count_histogram(spec: Spectrum, max_count: int = 64) -> jnp.ndarray:
+    """[max_count + 1] int32 histogram of entry counts: h[c] = # real
+    entries with count == c (counts > max_count clamp into the top bin;
+    h[0] is forced to 0 — pads don't count).  One scatter-add pass over
+    the table; feeds the auto min_abundance chooser
+    (oracle.correction.choose_min_abundance)."""
+    pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
+    c = jnp.where(pad, 0, jnp.clip(spec.count, 0, max_count))
+    h = jnp.zeros(max_count + 1, jnp.int32).at[c].add(1)
+    return h.at[0].set(0)
+
+
 @partial(jax.jit, static_argnames=("min_abundance",))
 def abundance_filter(spec: Spectrum, min_abundance: int) -> Spectrum:
     """Drop k-mers with count < min_abundance (oracle correction step 1)."""
@@ -85,6 +98,8 @@ def _correct_fused(
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
     lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
     hs = 2 * (k - 1)
+    rescue = min_abundance > 1  # static: the 8-probe program is
+    # unchanged when no filter is engaged (shallow/clean data)
     probes_h, probes_l = [], []
     for b in range(4):
         bb = jnp.uint32(b)
@@ -102,18 +117,61 @@ def _correct_fused(
             lsl = sl | (bb << hs)
         probes_h.append(lsh)
         probes_l.append(lsl)
-    ph = jnp.stack(probes_h, axis=0)  # [8, C]: (rsib, lsib) x 4
+        if rescue:
+            # right extension: ((v << 2) | b) masked
+            probes_h.append(((hi << 2) | (lo >> 30)) & hi_mask)
+            probes_l.append(((lo << 2) | bb) & lo_mask)
+            # left extension: (v >> 2) | (b << 2(k-1))
+            lh = hi >> 2
+            ll = (lo >> 2) | (hi << 30)
+            if hs >= 32:
+                lh = lh | (bb << (hs - 32))
+            else:
+                ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
+            probes_h.append(lh)
+            probes_l.append(ll)
+    P = 4 if rescue else 2  # probes per base: (rsib, lsib[, rext, lext])
+    ph = jnp.stack(probes_h, axis=0)  # [4P, C]
     pl = jnp.stack(probes_l, axis=0)
     if canonical:
         ph, pl = canonical_hilo(ph, pl, k)
     idx, hit = lookup_hilo(hi, lo, ph.reshape(-1), pl.reshape(-1))
-    idx = jnp.clip(idx.reshape(8, C), 0, C - 1)
-    hit = hit.reshape(8, C)
+    idx = jnp.clip(idx.reshape(4 * P, C), 0, C - 1)
+    hit = hit.reshape(4 * P, C)
 
     pad = (hi == SENTINEL) & (lo == SENTINEL)
-    counts0 = jnp.where(
-        pad | (spec.count < min_abundance), 0, spec.count
-    )
+    raw = jnp.where(pad, 0, spec.count)
+    counts0 = jnp.where(raw < min_abundance, 0, raw)
+
+    if rescue:
+        # dead-end rescue rounds (oracle spec:
+        # oracle.correction.dead_end_rescue): a dropped k-mer revives
+        # iff it extends an alive k-mer that is otherwise dead on that
+        # side — some left-extension alive AND all right-siblings dead
+        # (x's right-sibling group IS that parent's right-extension
+        # set), or the mirror.  Jacobi rounds, capped at 3k.
+        def rcond(st):
+            r, _counts, changed = st
+            return changed & (r < 3 * k)
+
+        def rbody(st):
+            r, counts, _ = st
+            pa = hit & (counts[idx] > 0)  # [16, C] alive gathers
+            rsib_dead = ~jnp.any(pa[0::4], axis=0)
+            lsib_dead = ~jnp.any(pa[1::4], axis=0)
+            rext_any = jnp.any(pa[2::4], axis=0)
+            lext_any = jnp.any(pa[3::4], axis=0)
+            resc = (
+                (raw > 0)
+                & (counts == 0)
+                & ((lext_any & rsib_dead) | (rext_any & lsib_dead))
+            )
+            return r + 1, jnp.where(resc, raw, counts), resc.any()
+
+        _, counts0, _ = jax.lax.while_loop(
+            rcond, rbody, (jnp.int32(0), counts0, jnp.bool_(True))
+        )
+
     ratio = sibling_ratio.astype(jnp.float32)
 
     def cond(st):
@@ -122,9 +180,9 @@ def _correct_fused(
 
     def body(st):
         r, counts, _ = st
-        pc = jnp.where(hit, counts[idx], 0)  # [8, C] gathers
-        rmax = jnp.max(pc[0::2], axis=0).astype(jnp.float32)
-        lmax = jnp.max(pc[1::2], axis=0).astype(jnp.float32)
+        pc = jnp.where(hit, counts[idx], 0)  # [4P, C] gathers
+        rmax = jnp.max(pc[0::P], axis=0).astype(jnp.float32)
+        lmax = jnp.max(pc[1::P], axis=0).astype(jnp.float32)
         cf = counts.astype(jnp.float32)
         doomed = (counts > 0) & ((cf < ratio * rmax) | (cf < ratio * lmax))
         return r + 1, jnp.where(doomed, 0, counts), doomed.any()

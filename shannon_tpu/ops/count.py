@@ -384,11 +384,33 @@ def pad_batch_rows(
     return codes, lengths
 
 
+def pad_batch_rows_words(
+    words: np.ndarray,
+    lengths: np.ndarray,
+    mask: np.ndarray | None,
+    batch_reads: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """pad_batch_rows for the packed-resident format (ReadBatch.words):
+    zero word rows + zero lengths yield no valid windows."""
+    rows_in = words.shape[0]
+    if rows_in == batch_reads:
+        return words, lengths, mask
+    rows = 1 << max(rows_in - 1, 1).bit_length()
+    rows = min(max(rows, 16), batch_reads)
+    if rows > rows_in:
+        pad = rows - rows_in
+        words = np.pad(words, ((0, pad), (0, 0)))
+        lengths = np.pad(lengths, (0, pad))
+        if mask is not None:
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+    return words, lengths, mask
+
+
 def count_reads_spectrum(
-    batch_codes: np.ndarray,
-    batch_lengths: np.ndarray,
-    k: int,
-    capacity: int,
+    batch_codes,
+    batch_lengths: np.ndarray | None = None,
+    k: int = 24,
+    capacity: int = 1 << 22,
     canonical: bool = True,
     batch_reads: int = 1 << 16,
 ) -> Spectrum:
@@ -396,8 +418,13 @@ def count_reads_spectrum(
     merging into one spectrum (single-chip path; the sharded path lives
     in shannon_tpu/parallel).
 
-    Transfer discipline (VERDICT r3 item 1): each batch is 2-bit packed
-    host-side (3.6x fewer tunnel bytes), and overflow checks are
+    `batch_codes` is a packed-resident ReadBatch (the production path —
+    word rows slice straight into the upload, no per-batch packing) or
+    a legacy [n, L] uint8 code matrix + `batch_lengths` (packed once
+    here).
+
+    Transfer discipline (VERDICT r3 item 1): each batch uploads 2-bit
+    packed (3.6x fewer tunnel bytes), and overflow checks are
     device-scalar flags fetched with copy_to_host_async and resolved
     ONE batch late — the next batch's upload+count is already dispatched
     before the driver blocks on any flag, so the old 2-blocking-fetches
@@ -410,9 +437,13 @@ def count_reads_spectrum(
     batches the merged table grows at tight capacity, so the returned
     spectrum's capacity may exceed or undercut `capacity` — always >=
     its own n."""
-    from shannon_tpu.io.pack import invalid_mask_words, pack_words
+    from shannon_tpu.io.pack import ReadBatch
 
-    n = batch_codes.shape[0]
+    if isinstance(batch_codes, ReadBatch):
+        batch = batch_codes
+    else:
+        batch = ReadBatch(codes=batch_codes, lengths=batch_lengths)
+    n = batch.n_reads
     total: Spectrum | None = None
     # pending = (prev_total, part, part_flag, merged_flag) of the most
     # recent speculative step; resolved one batch later (or at the end)
@@ -436,18 +467,19 @@ def count_reads_spectrum(
 
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
-        codes, lengths = pad_batch_rows(
-            batch_codes[s:e], batch_lengths[s:e], batch_reads
+        words, lengths, mask = pad_batch_rows_words(
+            batch.words[s:e],
+            batch.lengths[s:e],
+            batch.mask_rows(s, e),
+            batch_reads,
         )
-        words = pack_words(codes)
-        mask = invalid_mask_words(codes, lengths)
         part = count_spectrum_packed(
             jnp.asarray(words),
             jnp.asarray(lengths),
             k,
             capacity,
             canonical,
-            length=codes.shape[1],
+            length=batch.pad_length,
             mask=None if mask is None else jnp.asarray(mask),
         )
         pflag = _overflow_flag(part.hi)

@@ -3,7 +3,14 @@ extension correction (SURVEY.md §3.1 extension_correction, §4.2).
 
 Spec (binding for the TPU pipeline):
 
-  1. **Abundance filter**: drop k-mers with count < min_abundance.
+  1. **Abundance filter**: drop k-mers with count < min_abundance
+     (0 = auto — choose_min_abundance), then, when min_abundance > 1,
+     **dead-end rescue** (dead_end_rescue below): iteratively revive
+     dropped k-mers that extend an alive dead end, so transcript ends
+     and interior coverage dips — whose counts are boundary-limited,
+     not expression-limited — survive the cut while error chains
+     (forked off interiors whose true continuation is alive) stay
+     dead.
 
   2. **Sibling-ratio branch pruning**, iterated to fixpoint (or
      correction_rounds):  work on the *canonical orientation* of each
@@ -58,9 +65,158 @@ from shannon_tpu.config import AssemblyConfig
 from shannon_tpu.oracle.counting import canon_kmer, revcomp_kmer
 
 
+HIST_MAX_COUNT = 1024
+"""Histogram bin ceiling for the auto-abundance chooser (counts above
+clamp into the top bin — the ladder below never needs finer depth)."""
+
+
+def histogram_from_counts(counts: dict[int, int]) -> np.ndarray:
+    """[HIST_MAX_COUNT + 1] histogram of k-mer counts (oracle twin of
+    ops.correction.count_histogram — identical clamping so both
+    backends resolve the identical auto threshold)."""
+    vals = np.fromiter(counts.values(), np.int64, len(counts))
+    return np.bincount(
+        np.clip(vals, 0, HIST_MAX_COUNT), minlength=HIST_MAX_COUNT + 1
+    )
+
+
+def choose_min_abundance(hist: np.ndarray) -> int:
+    """Coverage-aware auto abundance threshold (VERDICT r4 item 1) from
+    the k-mer count histogram.  Deterministic, backend-independent.
+
+    Sequencing errors put most of their k-mers in the count-1/2 band
+    (each error mints up to k novel k-mers, nearly all unique), so at
+    deep coverage the raw table is dominated by error k-mers the
+    pipeline later deletes anyway — but only after paying k-mer-scale
+    correction + condensation for them (~25s of the 82s 1M-read e2e in
+    round 4).  The classic k-mer-spectrum valley cut does not transfer
+    to transcriptomes: log-normal expression smears the coverage peak
+    into a plateau with NO valley (measured on the pinned 20x dataset —
+    histogram monotone decreasing to c=28), and a valley-level cut
+    costs real recall of low-expression isoforms.  Recall-first rule
+    instead:
+
+      * gate: the error band must dominate the table —
+        h[1] >= 0.3 * distinct entries (error-free data never cuts);
+      * depth: m = instance-weighted median count (the count of the
+        median sequenced k-mer INSTANCE; errors carry few instances
+        each, so m tracks the k-coverage of the median-expression
+        transcript — mean-normalized lognormal(0,1) expression puts it
+        at ~1.65x the mean k-coverage);
+      * ladder: t=2 iff m >= 64, t=3 iff m >= 256, t=4 iff m >= 1024,
+        else 1.  A true k-mer with count < t then belongs to a
+        transcript expressed >= ~32x below the instance median — the
+        regime where recovery is marginal at any threshold.  Measured
+        on the 500-transcript 1M-read bench sim (133x mean coverage,
+        m~140 -> t=2): the cut removes 8.26M of 10.7M distinct k-mers
+        while touching 0.24% of true k-mers; the 33x/250k and 20x
+        pinned-quality sims fall below the gate (m~42 / ~25) and stay
+        uncut, keeping QUALITY.md recall bit-identical.
+    """
+    h = np.asarray(hist, np.float64)
+    if len(h) < 3:
+        return 1
+    c = np.arange(len(h), dtype=np.float64)
+    inst = h * c
+    total_inst = inst.sum()
+    distinct = h.sum()
+    if total_inst <= 0 or distinct <= 0:
+        return 1
+    if h[1] < 0.3 * distinct:
+        return 1  # no dominant error band: never cut clean data
+    m = int(np.searchsorted(np.cumsum(inst), total_inst / 2.0))
+    if m >= 1024:
+        return 4
+    if m >= 256:
+        return 3
+    if m >= 64:
+        return 2
+    return 1
+
+
+def resolve_min_abundance(config, counts: dict[int, int] | None = None,
+                          hist: np.ndarray | None = None) -> int:
+    """config.min_abundance, with 0 = auto resolved from the histogram
+    (either a counts dict or a precomputed histogram)."""
+    if config.min_abundance != 0:
+        return config.min_abundance
+    if hist is None:
+        hist = histogram_from_counts(counts)
+    return choose_min_abundance(hist)
+
+
 def _alive_count(counts: dict[int, int], v: int, k: int, strand_specific: bool) -> int:
     key = v if strand_specific else canon_kmer(v, k)
     return counts.get(key, 0)
+
+
+def dead_end_rescue(
+    counts: dict[int, int], alive: dict[int, int], config: AssemblyConfig
+) -> dict[int, int]:
+    """Abundance-filter RESCUE (spec, binding for the device twin in
+    ops.correction._correct_fused): after dropping k-mers with
+    count < min_abundance, iteratively rescue dropped k-mers that
+    extend an alive DEAD END:
+
+      x (dropped) is rescued in a round iff
+        (some left-extension of x is alive AND every right-sibling of x
+         is dead)   [x extends an alive k-mer that is otherwise dead on
+                     its right: x's right-sibling group IS that parent's
+                     right-extension set]
+      or the left/right mirror.
+
+    Rounds are jacobi (decided against the round's starting alive set)
+    and capped at 3k; rescued k-mers keep their true counts.
+
+    Why: transcript END k-mers are covered only by reads starting at
+    the boundary, so their counts stay ~Poisson(coverage/read_length)
+    no matter how deep the interior coverage is — a blind count cut
+    truncates the ends of perfectly recoverable transcripts (measured:
+    t=2 at 28x lost a verify-dataset transcript, 1,808 true k-mers at
+    the 1M bench point).  Sequencing-error chains hang off interior
+    forks whose true continuation is ALIVE, so the all-siblings-dead
+    condition never rescues them; the few error chains dangling off
+    true transcript ends that do regrow are short dead-end contigs the
+    tip clip removes anyway."""
+    k = config.k
+    ss = config.strand_specific
+    mask = (1 << (2 * k)) - 1
+    hi_shift = 2 * (k - 1)
+    dropped = {v: c for v, c in counts.items() if v not in alive}
+    alive = dict(alive)
+
+    def is_alive(v: int) -> bool:
+        key = v if ss else canon_kmer(v, k)
+        return key in alive
+
+    for _ in range(3 * k):
+        newly: list[int] = []
+        for v, c in dropped.items():
+            lext_any = any(
+                is_alive((v >> 2) | (b << hi_shift)) for b in range(4)
+            )
+            if lext_any:
+                rsib_dead = all(
+                    not is_alive((v & ~0x3) | b) for b in range(4)
+                )
+                if rsib_dead:
+                    newly.append(v)
+                    continue
+            rext_any = any(
+                is_alive(((v << 2) | b) & mask) for b in range(4)
+            )
+            if rext_any:
+                lsib_dead = all(
+                    not is_alive((b << hi_shift) | (v & (mask >> 2)))
+                    for b in range(4)
+                )
+                if lsib_dead:
+                    newly.append(v)
+        if not newly:
+            break
+        for v in newly:
+            alive[v] = dropped.pop(v)
+    return alive
 
 
 def correct_kmers(
@@ -69,9 +225,10 @@ def correct_kmers(
     """Return the corrected (k-mer -> count) table per the spec above."""
     k = config.k
     ss = config.strand_specific
-    alive = {
-        v: c for v, c in counts.items() if c >= config.min_abundance
-    }
+    min_ab = resolve_min_abundance(config, counts)
+    alive = {v: c for v, c in counts.items() if c >= min_ab}
+    if min_ab > 1:
+        alive = dead_end_rescue(counts, alive, config)
     if config.sibling_ratio <= 0.0:
         return alive
 

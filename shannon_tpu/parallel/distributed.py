@@ -195,30 +195,36 @@ def _sharded_tail(hi, lo, valid, n_dev, capacity, bucket_cap):
 
 def count_reads_spectrum_sharded(
     batch_codes,
-    batch_lengths,
-    k: int,
-    capacity: int,
-    mesh: Mesh,
+    batch_lengths=None,
+    k: int = 24,
+    capacity: int = 1 << 22,
+    mesh: Mesh = None,
     canonical: bool = True,
     batch_reads: int = 1 << 16,
 ) -> tuple[Spectrum, bool]:
     """Host driver for the sharded path: stream read batches through
     count_spectrum_sharded_packed, merging replicated results batch-to
     -batch (mirrors ops.count.count_reads_spectrum for the 1-chip path:
-    2-bit packed uploads, overflow flags fetched async and resolved one
-    batch late so no blocking round-trip sits between batches).
+    packed-resident row slices upload directly, overflow flags fetched
+    async and resolved one batch late so no blocking round-trip sits
+    between batches).  `batch_codes`: a packed-resident ReadBatch or a
+    legacy uint8 code matrix + `batch_lengths`.
     Returns (spectrum, overflowed)."""
     import numpy as np
 
-    from shannon_tpu.io.pack import invalid_mask_words, pack_words
+    from shannon_tpu.io.pack import ReadBatch
     from shannon_tpu.ops.count import (
         _overflow_flag,
         merge_spectra_fixed,
         merge_spectra_sized,
     )
 
+    if isinstance(batch_codes, ReadBatch):
+        batch = batch_codes
+    else:
+        batch = ReadBatch(codes=batch_codes, lengths=batch_lengths)
     n_dev = mesh.devices.size
-    n = batch_codes.shape[0]
+    n = batch.n_reads
     total: Spectrum | None = None
     overflowed = False
     pending: tuple | None = None  # (prev_total, part, ovf, merged_flag)
@@ -235,22 +241,21 @@ def count_reads_spectrum_sharded(
 
     for s in range(0, n, batch_reads):
         e = min(s + batch_reads, n)
-        codes = batch_codes[s:e]
-        lengths = batch_lengths[s:e]
+        words = batch.words[s:e]
+        lengths = batch.lengths[s:e]
+        mask = batch.mask_rows(s, e)
         rows = e - s
         if rows != batch_reads:
             tgt = 1 << max(rows - 1, 1).bit_length()
             tgt = min(max(tgt, 2 * n_dev), batch_reads)
             if tgt > rows:
-                codes = np.pad(
-                    codes, ((0, tgt - rows), (0, 0)), constant_values=4
-                )
+                words = np.pad(words, ((0, tgt - rows), (0, 0)))
                 lengths = np.pad(lengths, (0, tgt - rows))
-        words = pack_words(codes)
-        mask = invalid_mask_words(codes, lengths)
+                if mask is not None:
+                    mask = np.pad(mask, ((0, tgt - rows), (0, 0)))
         part, ovf = count_spectrum_sharded_packed(
             jnp.asarray(words), jnp.asarray(lengths), k, capacity, mesh,
-            canonical, length=codes.shape[1],
+            canonical, length=batch.pad_length,
             mask=None if mask is None else jnp.asarray(mask),
         )
         ovf.copy_to_host_async()

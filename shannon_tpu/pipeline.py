@@ -74,8 +74,7 @@ def _spectrum_device(
         )
 
         spec, overflowed = count_reads_spectrum_multihost(
-            batch.codes,
-            batch.lengths,
+            batch,
             k=config.k,
             capacity=config.kmer_capacity,
             mesh=make_mesh(),
@@ -91,8 +90,7 @@ def _spectrum_device(
         from shannon_tpu.parallel.mesh import make_mesh
 
         spec, overflowed = count_reads_spectrum_sharded(
-            batch.codes,
-            batch.lengths,
+            batch,
             k=config.k,
             capacity=config.kmer_capacity,
             mesh=make_mesh(n_dev),
@@ -102,8 +100,7 @@ def _spectrum_device(
         overflowed = overflowed or spec.overflowed()
     else:
         spec = count_reads_spectrum(
-            batch.codes,
-            batch.lengths,
+            batch,
             k=config.k,
             capacity=config.kmer_capacity,
             canonical=canonical,
@@ -127,10 +124,22 @@ def _spectrum_device(
     from shannon_tpu.ops.count import shrink_spectrum
 
     spec = shrink_spectrum(spec)
+    min_ab = config.min_abundance
+    if min_ab == 0:
+        # auto abundance threshold (VERDICT r4 item 1): one device
+        # histogram pass + the recall-guarded chooser.  The small fetch
+        # resolves before correction dispatches; every host computes
+        # the identical value from the replicated spectrum.
+        from shannon_tpu.oracle.correction import choose_min_abundance
+        from shannon_tpu.ops.correction import count_histogram
+
+        min_ab = choose_min_abundance(np.asarray(count_histogram(spec, 1024)))
+        if timer:
+            timer.note("spectrum+graph", auto_min_abundance=min_ab)
     spec = correct_spectrum(
         spec,
         config.k,
-        config.min_abundance,
+        min_ab,
         config.sibling_ratio,
         config.correction_rounds,
         canonical=canonical,
@@ -140,6 +149,13 @@ def _spectrum_device(
     # real runtime lands in whichever later stage fetches first
     # (tc_condense_s absorbed it — round-4 attribution fix)
     np.asarray(spec.hi[-1:])
+    # re-shrink AFTER correction: with the abundance filter engaged the
+    # corrected table can be several-fold smaller than the raw one
+    # (8.26M of 10.7M k-mers are error singletons at the 1M bench
+    # point), and tip-clip condensation cost is table-capacity-bound —
+    # running it at the post-filter tight capacity is the bulk of the
+    # round-5 front-half win
+    spec = shrink_spectrum(spec)
     t2 = _time.perf_counter()
     if timer:
         timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))
@@ -222,7 +238,6 @@ def _thread_device(
 
     import jax.numpy as jnp
 
-    from shannon_tpu.io.pack import invalid_mask_words, pack_words
     from shannon_tpu.oracle.multibridge import expand_paths
     from shannon_tpu.oracle.nodegraph import _lists_to_flat
     from shannon_tpu.ops.thread import (
@@ -262,30 +277,28 @@ def _thread_device(
         d = {k: v[:n_real] for k, v in d.items()}
         parts.append((d, d["ev_cid"].shape[1], d["run_p0"].shape[1]))
 
-    from shannon_tpu.ops.count import pad_batch_rows
+    from shannon_tpu.ops.count import pad_batch_rows_words
 
     for s in range(0, n, bs):
         e = min(s + bs, n)
-        codes, lengths = pad_batch_rows(
-            batch.codes[s:e], batch.lengths[s:e], bs
+        # packed-resident rows slice straight into the upload (the 2-bit
+        # words are the storage AND transfer format since round 5); the
+        # mask upload only exists for slices with mid-read N's
+        words, lengths, mask = pad_batch_rows_words(
+            batch.words[s:e], batch.lengths[s:e], batch.mask_rows(s, e), bs
         )
-        # 2-bit packed upload (VERDICT r3 item 1): same byte cut as the
-        # counting driver; the mask upload only exists for batches with
-        # mid-read N's
-        words = pack_words(codes)
-        mask = invalid_mask_words(codes, lengths)
         lengths_j = jnp.asarray(lengths)
         outs = thread_reads_device_packed(
             jnp.asarray(words),
             lengths_j,
             ca,
             config.k,
-            length=codes.shape[1],
+            length=batch.pad_length,
             mask=None if mask is None else jnp.asarray(mask),
         )
         comp = compact_thread_outputs(*outs)
         comp[-1].copy_to_host_async()  # totals resolve one batch late
-        stage_a.append((comp, outs[2], lengths_j, e - s, codes.shape[0]))
+        stage_a.append((comp, outs[2], lengths_j, e - s, words.shape[0]))
         if len(stage_a) >= 2:
             _drain_a()
         if len(stage_b) >= 2:
@@ -410,6 +423,83 @@ def _sf_solver(backend: str):
     return solve_nodes_device
 
 
+def _assemble_device_backhalf(
+    cgraph, comps, evidence, config: AssemblyConfig, timer: StageTimer
+):
+    """Shared device-backend back half: evidence distribution (multi-
+    process), NodeGraph build, bucket-scheduled MB+SF+enumeration,
+    cross-host union, dedupe.  Returns (final transcripts, n_mb, n_sf,
+    truncated).
+
+    Multi-process modes (config.multihost_backhalf):
+      * 'ownership' (default): each host assembles ONLY the components
+        it owns (owner = component min-contig-id label mod H); evidence
+        routes to owners with one all_to_all and raw transcripts are
+        union-gathered before the final dedupe.  Communication scales
+        with 1/H of the evidence instead of replicating all of it
+        (docs/SCALING.md item 3 — the 100M-read design, now built).
+        The union dedupe is order-independent (dedupe_and_filter keeps
+        the max-abundance representative per canonical key and sorts
+        keys), so the output is identical to single-process.
+      * 'replicate': the round-4 behavior — all-gather ALL evidence,
+        every host assembles everything redundantly (kept as the
+        simple/fallback mode and as the comm-volume comparison
+        baseline)."""
+    import time as _time
+
+    import jax as _jax
+
+    H = _jax.process_count()
+    ownership = H > 1 and config.multihost_backhalf == "ownership"
+    if ownership:
+        from shannon_tpu.parallel.multihost import (
+            allreduce_stats,
+            gather_transcripts,
+            route_evidence_ownership,
+        )
+
+        owner = np.zeros(cgraph.n, np.int64)
+        for comp in comps:
+            owner[comp] = comp[0] % H
+        vol: dict = {}
+        evidence = route_evidence_ownership(*evidence, owner, volumes=vol)
+        pid = _jax.process_index()
+        my_comps = [c for c in comps if c[0] % H == pid]
+        timer.note("assembly", owned_components=len(my_comps), **vol)
+    elif H > 1:
+        from shannon_tpu.parallel.multihost import gather_evidence
+
+        evidence = gather_evidence(*evidence)
+        timer.note("assembly", gathered_paths=len(evidence[2]))
+        my_comps = comps
+    else:
+        my_comps = comps
+
+    t0 = _time.perf_counter()
+    g = NodeGraph.from_contig_graph(cgraph)
+    t1 = _time.perf_counter()
+    g.set_paths_flat(*evidence)
+    timer.note(
+        "assembly",
+        graph_build_s=round(t1 - t0, 3),
+        evidence_s=round(_time.perf_counter() - t1, 3),
+    )
+    from shannon_tpu.parallel.components import assemble_components
+
+    transcripts, n_mb, n_sf, truncated, phase_s = assemble_components(
+        g, my_comps, config, solver=_sf_solver("device")
+    )
+    for name, secs in phase_s.items():
+        timer.note(name, wall_s=round(secs, 3))
+    if ownership:
+        transcripts = gather_transcripts(transcripts)
+        n_mb, n_sf, trunc_i = allreduce_stats(n_mb, n_sf, int(truncated))
+        truncated = bool(trunc_i)
+    with timer.stage("dedupe"):
+        final = dedupe_and_filter(transcripts, config)
+    return final, n_mb, n_sf, truncated
+
+
 def normalize_mate2(reads: list[str]) -> list[str]:
     """Flip interleaved mate-2 reads ([L0, R0, L1, R1, ...]) into
     transcript orientation (FR protocol: mate 2 is sequenced from the
@@ -444,7 +534,6 @@ def ingest_paired_files(
     orientation.  Must stay batch-identical to the in-memory route
     pack_reads(normalize_mate2(interleaved), paired=True) — pinned by
     tests/test_pipeline.py::test_paired_ingest_file_vs_memory_batches."""
-    from shannon_tpu.io.dna import revcomp_code_rows
     from shannon_tpu.native import pack_file
 
     bl = pack_file(left, pad_length=pad_length)
@@ -453,20 +542,59 @@ def ingest_paired_files(
         raise ValueError(
             f"paired inputs differ in length: {bl.n_reads} vs {br.n_reads}"
         )
+    return _interleave_pair_batches(bl, br)
+
+
+def ingest_paired_files_range(
+    left: str, right: str, pad_length: int
+) -> ReadBatch:
+    """Pair-aligned multi-host paired ingest (SURVEY.md §8 M5, VERDICT
+    r4 item 8): byte-range-split the LEFT file over hosts, convert this
+    host's byte range to a record range (native line scan), then read
+    BOTH mate files at that record range
+    (native.pack_file_records), so each host parses ~1/H of the pair
+    data and every mate pair lands whole on exactly one host —
+    replacing the parse-everything-then-slice fallback that repeated
+    full parsing on every host at the 100M-paired north star.
+
+    The two files cannot be byte-split independently (ranges could
+    misalign mates); record indices are the pair-safe coordinate.
+    Raises on gzip / native-unavailable — the caller falls back to the
+    record-slicing route."""
+    from shannon_tpu.native import (
+        count_records_in_range,
+        load,
+        pack_file_records,
+    )
+    from shannon_tpu.parallel.multihost import host_byte_range
+
+    if str(left).endswith(".gz") or str(right).endswith(".gz"):
+        raise ValueError("pair-aligned range ingest requires uncompressed files")
+    if load() is None:
+        raise RuntimeError("native ingest unavailable")
+    lo, hi = host_byte_range(left)
+    skip = count_records_in_range(left, 0, lo)
+    n_h = count_records_in_range(left, lo, hi)
+    bl = pack_file_records(left, skip, n_h, pad_length)
+    br = pack_file_records(right, skip, n_h, pad_length)
+    return _interleave_pair_batches(bl, br)
+
+
+def _interleave_pair_batches(bl: ReadBatch, br: ReadBatch) -> ReadBatch:
+    """[L0, R0, L1, R1, ...] with mate 2 reverse-complemented into
+    transcript orientation (FR protocol)."""
+    from shannon_tpu.io.dna import revcomp_code_rows
     # auto pad may differ between the two files (e.g. 150bp vs 151bp
-    # libraries): widen both to the common pad
+    # libraries): widen both to the common pad.  The interleave + mate-2
+    # RC runs on transient uint8 views (batches are packed-resident);
+    # the result re-packs in the ReadBatch constructor.
     pad = max(bl.pad_length, br.pad_length)
-    for b in (bl, br):
-        if b.pad_length < pad:
-            b.codes = np.pad(
-                b.codes, ((0, 0), (0, pad - b.pad_length)), constant_values=4
-            )
     n = bl.n_reads
-    codes = np.empty((2 * n, pad), np.uint8)
+    codes = np.full((2 * n, pad), 4, np.uint8)
     lengths = np.empty(2 * n, np.int32)
-    codes[0::2] = bl.codes
+    codes[0::2, : bl.pad_length] = bl.codes
     lengths[0::2] = bl.lengths
-    codes[1::2] = revcomp_code_rows(br.codes, br.lengths)
+    codes[1::2, : br.pad_length] = revcomp_code_rows(br.codes, br.lengths)
     lengths[1::2] = br.lengths
     return ReadBatch(codes=codes, lengths=lengths, paired=True)
 
@@ -500,12 +628,6 @@ def assemble(
             comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
             evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
-            import jax as _jax1
-
-            if _jax1.process_count() > 1:
-                from shannon_tpu.parallel.multihost import gather_evidence
-
-                evidence = gather_evidence(*evidence)
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -524,38 +646,21 @@ def assemble(
 
     with timer.stage("assembly"):
         if backend == "device":
-            import time as _time
-
-            t0 = _time.perf_counter()
-            g = NodeGraph.from_contig_graph(cgraph)
-            t1 = _time.perf_counter()
-            g.set_paths_flat(*evidence)
-            timer.note(
-                "assembly",
-                graph_build_s=round(t1 - t0, 3),
-                evidence_s=round(_time.perf_counter() - t1, 3),
+            # bucket-scheduled per-component back-half (the GNU-parallel
+            # replacement; identical output to the whole-graph oracle path)
+            final, n_mb, n_sf, truncated = _assemble_device_backhalf(
+                cgraph, comps, evidence, config, timer
             )
         else:
             g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
-        if backend == "device":
-            # bucket-scheduled per-component back-half (the GNU-parallel
-            # replacement; identical output to the whole-graph oracle path)
-            from shannon_tpu.parallel.components import assemble_components
-
-            transcripts, n_mb, n_sf, truncated, phase_s = assemble_components(
-                g, comps, config, solver=_sf_solver(backend)
-            )
-            for name, secs in phase_s.items():
-                timer.note(name, wall_s=round(secs, 3))
-        else:
             with timer.stage("multibridge"):
                 n_mb = multibridge(g, config)
             with timer.stage("sparseflow"):
                 n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
             with timer.stage("enumerate"):
                 transcripts, truncated = enumerate_transcripts(g, config)
-        with timer.stage("dedupe"):
-            final = dedupe_and_filter(transcripts, config)
+            with timer.stage("dedupe"):
+                final = dedupe_and_filter(transcripts, config)
 
     stats = {
         "n_reads": len(reads),
@@ -607,9 +712,20 @@ def run_pipeline(
     reads_npz = out / (f"reads.p{pid}.npz" if multi_proc else "reads.npz")
     if config.resume and reads_npz.exists():
         data = np.load(reads_npz)
-        batch = ReadBatch(
-            codes=data["codes"], lengths=data["lengths"], paired=bool(data["paired"])
-        )
+        if "words" in data:
+            batch = ReadBatch(
+                words=data["words"],
+                lengths=data["lengths"],
+                paired=bool(data["paired"]),
+                pad_length=int(data["pad_length"]),
+                mask=data["mask"] if "mask" in data.files else None,
+            )
+        else:  # pre-round-5 uint8 checkpoint
+            batch = ReadBatch(
+                codes=data["codes"],
+                lengths=data["lengths"],
+                paired=bool(data["paired"]),
+            )
         timer.note("ingest", skipped=True, n_reads=batch.n_reads)
     else:
         with timer.stage("ingest"):
@@ -643,9 +759,24 @@ def run_pipeline(
                         single, pad_length=config.read_pad_length
                     )
             elif left is not None and right is not None:
-                batch = ingest_paired_files(
-                    left, right, pad_length=config.read_pad_length
-                )
+                gz = str(left).endswith(".gz") or str(right).endswith(".gz")
+                if multi and config.read_pad_length and not gz:
+                    # pair-aligned per-host range ingest (VERDICT r4
+                    # item 8); falls back to record slicing when the
+                    # native parser is unavailable
+                    try:
+                        batch = ingest_paired_files_range(
+                            left, right, config.read_pad_length
+                        )
+                        multi = False  # already sliced, pair-aligned
+                    except (RuntimeError, ValueError):
+                        batch = ingest_paired_files(
+                            left, right, pad_length=config.read_pad_length
+                        )
+                else:
+                    batch = ingest_paired_files(
+                        left, right, pad_length=config.read_pad_length
+                    )
             else:
                 raise ValueError("provide --single or --left/--right")
 
@@ -657,16 +788,14 @@ def run_pipeline(
                 from shannon_tpu.parallel.multihost import host_read_slice
 
                 sl = host_read_slice(batch.n_reads)
-                batch = ReadBatch(
-                    codes=batch.codes[sl],
-                    lengths=batch.lengths[sl],
-                    paired=batch.paired,
-                )
+                batch = batch.rows(sl)
             np.savez_compressed(
                 reads_npz,
-                codes=batch.codes,
+                words=batch.words,
                 lengths=batch.lengths,
                 paired=batch.paired,
+                pad_length=batch.pad_length,
+                **({"mask": batch.mask} if batch.mask is not None else {}),
             )
         timer.note("ingest", n_reads=batch.n_reads, total_bases=batch.total_bases)
 
@@ -751,18 +880,6 @@ def run_pipeline(
                 comps = device_components(ca)
             with timer.stage("threading"):
                 evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
-                if multi_proc:
-                    # re-join the per-host evidence so the back half
-                    # assembles the GLOBAL read set (deterministically
-                    # identical on every host; VERDICT r3 item 2)
-                    from shannon_tpu.parallel.multihost import (
-                        gather_evidence,
-                    )
-
-                    evidence = gather_evidence(*evidence)
-                    timer.note(
-                        "threading", gathered_paths=len(evidence[2])
-                    )
         else:
             with timer.stage("graph"):
                 if alive is None:
@@ -778,36 +895,15 @@ def run_pipeline(
                 )
         with timer.stage("assembly"):
             if backend == "device":
-                import time as _time
-
-                t0 = _time.perf_counter()
-                g = NodeGraph.from_contig_graph(cgraph)
-                t1 = _time.perf_counter()
-                g.set_paths_flat(*evidence)
-                timer.note(
-                    "assembly",
-                    graph_build_s=round(t1 - t0, 3),
-                    evidence_s=round(_time.perf_counter() - t1, 3),
+                final, n_mb, n_sf, truncated = _assemble_device_backhalf(
+                    cgraph, comps, evidence, config, timer
                 )
             else:
                 g = NodeGraph.from_contig_graph(cgraph, paths, path_weights)
-            if backend == "device":
-                from shannon_tpu.parallel.components import (
-                    assemble_components,
-                )
-
-                (
-                    transcripts_all, n_mb, n_sf, truncated, phase_s,
-                ) = assemble_components(
-                    g, comps, config, solver=_sf_solver(backend)
-                )
-                for name, secs in phase_s.items():
-                    timer.note(name, wall_s=round(secs, 3))
-            else:
                 n_mb = multibridge(g, config)
                 n_sf = sparse_flow(g, config, solver=_sf_solver(backend))
                 transcripts_all, truncated = enumerate_transcripts(g, config)
-            final = dedupe_and_filter(transcripts_all, config)
+                final = dedupe_and_filter(transcripts_all, config)
         if pid == 0:  # single writer; every host computed the same set
             write_fasta(
                 fasta,

@@ -67,6 +67,60 @@ def simulate_repeat_transcripts(
     return out
 
 
+def simulate_gene_isoforms(
+    rng: np.random.Generator,
+    n_genes: int = 30,
+    n_exons: tuple[int, int] = (4, 9),
+    exon_length: tuple[int, int] = (80, 400),
+    n_isoforms: tuple[int, int] = (2, 5),
+) -> tuple[list[str], list[int]]:
+    """Splicing-graph transcriptome: each gene is a chain of exons;
+    each isoform is an order-preserving subset of its gene's exons that
+    keeps the first and last exon as anchors (the common biological
+    shape: alternative internal exons under shared terminal exons).
+
+    This is the structure sparse flow exists for (SURVEY.md §1
+    "recover every transcript that is in principle recoverable", §5.2
+    "two isoforms sharing an exon -> node LP must split 2-sparse"):
+    isoforms of one gene share exon sequence, so the condensed graph has
+    X-nodes whose flow must be decomposed into the sparsest consistent
+    path set — i.i.d. random transcripts (simulate_transcripts) never
+    create this (VERDICT r4 missing #2: the 4M-read run resolved ZERO
+    SF splits; this generator is the corrective).
+
+    Returns (isoforms, gene_of): flat isoform list + gene id per isoform.
+    Isoform subsets within a gene are distinct; single-exon skips make
+    pairs that differ by one internal exon (the classic SF known-answer
+    at gene scale).
+    """
+    isoforms: list[str] = []
+    gene_of: list[int] = []
+    for g in range(n_genes):
+        ne = int(rng.integers(n_exons[0], n_exons[1]))
+        exons = [
+            random_seq(rng, int(rng.integers(exon_length[0], exon_length[1])))
+            for _ in range(ne)
+        ]
+        internal = list(range(1, ne - 1))
+        want = int(rng.integers(n_isoforms[0], n_isoforms[1]))
+        chosen: set[tuple[int, ...]] = set()
+        # first isoform: the full exon chain (every exon expressed once)
+        chosen.add(tuple(range(ne)))
+        attempts = 0
+        while len(chosen) < want and attempts < 20 * want:
+            attempts += 1
+            if not internal:
+                break
+            keep = [i for i in internal if rng.random() < 0.6]
+            sub = tuple([0, *keep, ne - 1])
+            if len(sub) >= 2:
+                chosen.add(sub)
+        for sub in sorted(chosen):
+            isoforms.append("".join(exons[i] for i in sub))
+            gene_of.append(g)
+    return isoforms, gene_of
+
+
 def mutate(rng: np.random.Generator, seq: str, error_rate: float) -> str:
     if error_rate <= 0:
         return seq

@@ -99,3 +99,110 @@ def test_correct_spectrum_parity(rng, k, canonical):
         count_kmers(reads, k, strand_specific=not canonical), cfg
     )
     assert got.to_dict() == oracle
+
+
+# ---- auto min_abundance (round 5: VERDICT r4 item 1) -----------------
+
+
+def test_choose_min_abundance_ladder():
+    from shannon_tpu.oracle.correction import (
+        HIST_MAX_COUNT,
+        choose_min_abundance,
+    )
+
+    def hist(pairs):
+        h = np.zeros(HIST_MAX_COUNT + 1, np.int64)
+        for c, n in pairs:
+            h[min(c, HIST_MAX_COUNT)] += n
+        return h
+
+    # deep coverage + dominant error band -> cut at 2
+    h = hist([(1, 8_000_000), (2, 1_200_000), (150, 700_000)])
+    assert choose_min_abundance(h) == 2
+    # very deep coverage -> 3, then 4
+    assert choose_min_abundance(hist([(1, 8_000_000), (400, 700_000)])) == 3
+    assert choose_min_abundance(hist([(1, 8_000_000), (1024, 700_000)])) == 4
+    # shallow coverage (median instance count < 64) -> never cut
+    assert choose_min_abundance(hist([(1, 3_000_000), (25, 700_000)])) == 1
+    # error-free deep coverage (no dominant singleton band) -> never cut
+    assert choose_min_abundance(hist([(1, 1_000), (200, 700_000)])) == 1
+    # degenerate histograms
+    assert choose_min_abundance(np.zeros(1025, np.int64)) == 1
+    assert choose_min_abundance(np.zeros(2, np.int64)) == 1
+
+
+def test_count_histogram_matches_oracle(rng):
+    from shannon_tpu.oracle.correction import (
+        HIST_MAX_COUNT,
+        histogram_from_counts,
+    )
+    from shannon_tpu.ops.correction import count_histogram
+
+    reads = [random_seq(rng, 50) for _ in range(30)]
+    reads += reads[:10]  # duplicate some so counts > 1 exist
+    k = 15
+    spec = _spec_of(reads, k)
+    got = np.asarray(count_histogram(spec, HIST_MAX_COUNT))
+    want = histogram_from_counts(count_kmers(reads, k))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_min_abundance_device_oracle_parity(rng):
+    """Deep-coverage + errors dataset where the auto chooser engages:
+    device and oracle must resolve the SAME threshold and produce the
+    identical corrected table."""
+    from shannon_tpu.oracle.correction import (
+        histogram_from_counts,
+        choose_min_abundance,
+    )
+    from shannon_tpu.ops.correction import count_histogram
+    from shannon_tpu.pipeline import assemble
+
+    ts = simulate_transcripts(rng, n=3, length=300)
+    reads = sample_reads(
+        rng, ts, coverage=150.0, read_length=60, error_rate=0.02
+    )
+    k = 21
+    counts = count_kmers(reads, k)
+    t_oracle = choose_min_abundance(histogram_from_counts(counts))
+    assert t_oracle >= 2  # the gate must engage at this depth
+    spec = _spec_of(reads, k, cap=1 << 15)
+    t_device = choose_min_abundance(np.asarray(count_histogram(spec, 1024)))
+    assert t_device == t_oracle
+
+    cfg = AssemblyConfig(
+        k=k, kmer_capacity=1 << 15, min_abundance=0,
+        min_transcript_length=100, min_output_abundance=0.0,
+    )
+    dev = assemble(reads, cfg, backend="device")
+    orc = assemble(reads, cfg, backend="oracle")
+    assert dev.canonical_set() == orc.canonical_set()
+
+
+def test_dead_end_rescue_keeps_ends_kills_error_chains(rng):
+    """Known-answer for the rescue spec: a deep-coverage transcript with
+    a singleton END k-mer keeps its full length under min_abundance=2
+    (the end chain is rescued), while a singleton error branch forked
+    off the interior is NOT rescued (its fork parent still has an alive
+    true continuation)."""
+    from shannon_tpu.oracle.correction import correct_kmers
+    from shannon_tpu.oracle.counting import canon_kmer, count_kmers, str_to_kmer
+
+    k = 15
+    t = random_seq(rng, 120)
+    # interior coverage 10x, but the transcript END appears only once:
+    reads = [t[i : i + 40] for i in range(0, 70, 4) for _ in range(10)]
+    reads += [t[-40:]]  # single read covering the end
+    # an error read: one substitution mid-read, appearing once
+    err = t[30:70]
+    err = err[:20] + ("A" if err[20] != "A" else "C") + err[21:]
+    reads += [err]
+    cfg = AssemblyConfig(k=k, min_abundance=2, sibling_ratio=0.0)
+    alive = correct_kmers(count_kmers(reads, k), cfg)
+    tail_kmer = canon_kmer(str_to_kmer(t[-k:]), k)
+    err_kmer = canon_kmer(str_to_kmer(err[20 - k // 2 : 20 - k // 2 + k]), k)
+    assert tail_kmer in alive, "end chain was not rescued"
+    assert err_kmer not in alive, "error branch was rescued"
+    # every k-mer of the true transcript survives (full end regrowth)
+    for i in range(len(t) - k + 1):
+        assert canon_kmer(str_to_kmer(t[i : i + k]), k) in alive

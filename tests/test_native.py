@@ -192,3 +192,69 @@ def test_host_byte_range_partitions_file(tmp_path, monkeypatch):
     assert ranges[0][0] == 0 and ranges[-1][1] == 1000
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert a1 == b0
+
+
+def test_pack_file_records_fasta_fastq(rng, tmp_path, lib):
+    """Record-indexed parse (pair-aligned multi-host primitive): every
+    (skip, count) window equals the full parse's slice, FASTA and
+    FASTQ."""
+    from shannon_tpu.native import pack_file_records
+
+    seqs = [random_seq(rng, int(n)) for n in rng.integers(20, 90, size=23)]
+    fa = tmp_path / "r.fasta"
+    write_fasta(fa, [(f"r{i}", s) for i, s in enumerate(seqs)], width=31)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    for path in (fa, fq):
+        full = pack_file(path, 96)
+        for skip, count in ((0, 5), (3, 7), (20, 3), (0, 23), (23, 0)):
+            part = pack_file_records(path, skip, count, 96)
+            assert part.n_reads == count
+            np.testing.assert_array_equal(
+                part.codes, full.codes[skip : skip + count]
+            )
+            np.testing.assert_array_equal(
+                part.lengths, full.lengths[skip : skip + count]
+            )
+
+
+def test_paired_range_ingest_matches_full(rng, tmp_path, lib):
+    """Pair-aligned range ingest: concatenating every host's range
+    batch reproduces the full paired ingest exactly (single-process
+    simulation of H hosts via monkeypatched byte ranges)."""
+    import shannon_tpu.parallel.multihost as mh
+    from shannon_tpu.pipeline import (
+        ingest_paired_files,
+        ingest_paired_files_range,
+    )
+
+    n = 17
+    left = [random_seq(rng, 60) for _ in range(n)]
+    right = [random_seq(rng, 60) for _ in range(n)]
+    lf, rf = tmp_path / "l.fasta", tmp_path / "r.fasta"
+    write_fasta(lf, [(f"l{i}", s) for i, s in enumerate(left)])
+    write_fasta(rf, [(f"r{i}", s) for i, s in enumerate(right)])
+    full = ingest_paired_files(str(lf), str(rf), pad_length=64)
+
+    size = lf.stat().st_size
+    H = 3
+    orig = mh.host_byte_range
+    parts = []
+    try:
+        for h in range(H):
+            mh.host_byte_range = (
+                lambda p, h=h: (h * size // H, (h + 1) * size // H)
+            )
+            parts.append(
+                ingest_paired_files_range(str(lf), str(rf), pad_length=64)
+            )
+    finally:
+        mh.host_byte_range = orig
+    assert all(p.n_reads % 2 == 0 for p in parts)  # whole pairs per host
+    got_words = np.vstack([p.words for p in parts if p.n_reads])
+    np.testing.assert_array_equal(got_words, full.words)
+    np.testing.assert_array_equal(
+        np.concatenate([p.lengths for p in parts]), full.lengths
+    )

@@ -136,3 +136,50 @@ def test_sharded_packed_parity(rng):
     )
     assert not bool(ovf1) and not bool(ovf2)
     assert got.to_dict() == ref.to_dict()
+
+
+def test_packed_resident_roundtrip(rng):
+    """ReadBatch stores words (round 5); the uint8 view must round-trip
+    exactly, including mid-read N's (mask) and tail padding."""
+    from shannon_tpu.io.dna import encode_seq
+    from shannon_tpu.io.pack import ReadBatch, unpack_words
+
+    seqs, b = _batch_with_ns(rng)
+    assert b.words.dtype == np.uint32
+    assert b.mask is not None  # the batch has N's
+    codes = b.codes
+    for i, s in enumerate(seqs):
+        enc = encode_seq(s)
+        np.testing.assert_array_equal(codes[i, : len(enc)], enc)
+        assert (codes[i, len(enc):] == 4).all()
+    # slice view == full view rows
+    np.testing.assert_array_equal(b.codes_rows(1, 4), codes[1:4])
+    # constructing from codes and from (words, mask) is identical
+    b2 = ReadBatch(
+        words=b.words, lengths=b.lengths, pad_length=b.pad_length,
+        mask=b.mask,
+    )
+    np.testing.assert_array_equal(b2.codes, codes)
+    # unpack_words without mask: N positions decode as packed (A)
+    raw = unpack_words(b.words, b.lengths, b.pad_length, None)
+    assert (raw[0] != codes[0]).sum() == 1  # exactly the one mid-read N
+
+
+def test_packed_resident_mask_rows_sliced(rng):
+    """mask_rows returns None for clean slices of a dirty batch, so the
+    common-case device program stays mask-free per batch slice."""
+    seqs, b = _batch_with_ns(rng)
+    assert b.mask_rows(0, 2) is not None  # rows with N's
+    assert b.mask_rows(3, 10) is None     # clean rows
+
+
+def test_pad_to_and_rows_packed(rng):
+    from shannon_tpu.io.pack import pack_reads
+
+    seqs = [random_seq(rng, 50) for _ in range(5)]
+    b = pack_reads(seqs, pad_length=64)
+    p = b.pad_to(8)
+    assert p.n_reads == 8 and (p.lengths[5:] == 0).all()
+    np.testing.assert_array_equal(p.words[:5], b.words)
+    r = b.rows(slice(1, 3))
+    np.testing.assert_array_equal(r.codes, b.codes[1:3])

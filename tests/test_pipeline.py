@@ -211,6 +211,8 @@ def test_paired_ingest_routes_identical(rng, tmp_path):
     mem = pack_reads(
         normalize_mate2(reads), pad_length=cfg.read_pad_length, paired=True
     )
-    np.testing.assert_array_equal(ingested["codes"], mem.codes)
+    # reads checkpoint is packed-resident since round 5 (words, not codes)
+    np.testing.assert_array_equal(ingested["words"], mem.words)
     np.testing.assert_array_equal(ingested["lengths"], mem.lengths)
+    assert int(ingested["pad_length"]) == mem.pad_length
     assert bool(ingested["paired"]) and mem.paired

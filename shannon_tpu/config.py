@@ -73,7 +73,15 @@ class AssemblyConfig:
     alone leaks error branches wherever coverage < 1/sibling_ratio
     (count-1 error vs count-4 sibling survives 0.1 but not 0.5,
     measured: 1517 error-path transcripts on the 20x pinned quality
-    dataset).  0 disables (falls back to sibling_ratio everywhere)."""
+    dataset).  For BUBBLES the strict ratio additionally applies only
+    against competitors of error-comparable length (<= k+2 k-mers): an
+    exon-skip junction has the same short footprint as a substitution
+    bubble but competes against the whole skipped exon — holding it to
+    0.5 deleted every minor isoform below half the major's expression
+    (round-5 splicing-gate finding; the substitution bubble's true twin
+    spans ~k k-mers between the same junctions, so error pruning is
+    unaffected).  0 disables (falls back to sibling_ratio
+    everywhere)."""
 
     @property
     def error_klen_effective(self) -> int:

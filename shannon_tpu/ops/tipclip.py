@@ -179,6 +179,7 @@ def _doom_round1(
         cb = np.nonzero(selB)[0]
         ub, wb = u[cb], w[cb]
         comp = np.zeros(len(cb), np.float32)
+        comp_s = np.zeros(len(cb), np.float32)  # error-length competitors
         for t in range(4):
             idx = estart[ub] + t
             valid = t < outdeg[ub]
@@ -192,7 +193,19 @@ def _doom_round1(
             comp = np.maximum(
                 comp, np.where(ok, abv[x], np.float32(0.0))
             ).astype(np.float32)
-        doom[cb] = np.float32(abv[cb]) < rv[cb] * comp
+            # strict competitors: error-comparable length only (the
+            # exon-skip-vs-substitution distinction — see _doom_check)
+            ok_s = ok & (klen[x] <= err_klen)
+            comp_s = np.maximum(
+                comp_s, np.where(ok_s, abv[x], np.float32(0.0))
+            ).astype(np.float32)
+        lax_doom = np.float32(abv[cb]) < np.float32(ratio) * comp
+        strict_doom = (
+            (err_ratio > 0.0)
+            & (klen[cb] <= err_klen)
+            & (np.float32(abv[cb]) < err_ratio * comp_s)
+        )
+        doom[cb] = lax_doom | strict_doom
     return np.nonzero(doom)[0]
 
 
@@ -248,12 +261,26 @@ def _host_clip_rounds(
         comp = np.float32(0.0)
         if has_in and has_out:
             if len(inc_c) == 1 and len(out_c) == 1:
+                # bubble: strict ratio only vs ERROR-comparable-length
+                # competitors (an exon-skip junction has the same <= k-1
+                # footprint as a substitution bubble but competes with a
+                # whole exon — see oracle clip_tips bubble rule)
                 u, w = inc_c[0], out_c[0]
                 inc_w = inc[w]
+                comp_strict = np.float32(0.0)
                 for x in out[u]:
-                    if x != c and x in inc_w and abv[x] > comp:
-                        comp = abv[x]
-                return abv[c] < rv[c] * comp
+                    if x != c and x in inc_w:
+                        if abv[x] > comp:
+                            comp = abv[x]
+                        if kl[x] <= err_klen and abv[x] > comp_strict:
+                            comp_strict = abv[x]
+                if abv[c] < ratio * comp:
+                    return True
+                return (
+                    err_ratio > 0.0
+                    and kl[c] <= err_klen
+                    and abv[c] < err_ratio * comp_strict
+                )
             return False
         if not has_in:  # attached on the right
             for d in out_c:

@@ -295,17 +295,41 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                 continue
             if has_in and has_out:
                 # bubble rule: parallel branch u -> c -> w dominated by a
-                # sibling branch u -> x -> w
+                # sibling branch u -> x -> w.  The strict
+                # error_branch_ratio applies only against competitors of
+                # ERROR-comparable length: a substitution's parallel
+                # bubble and its true twin both span ~k k-mers between
+                # the same junctions, while an exon-skip junction (the
+                # same <= k-1 k-mer footprint!) competes against the
+                # whole skipped exon — hundreds of k-mers.  Holding the
+                # skip branch to the strict ratio deleted minor isoforms
+                # at < 0.5x the major's abundance (measured: the
+                # two-isoform known-answer loses the 0.3-abundance skip
+                # with ZERO errors); competitor-length classing keeps
+                # the r3 error-flood fix without that collateral.
                 if len(g.in_edges[cid]) == 1 and len(g.out_edges[cid]) == 1:
                     u = g.in_edges[cid][0]
                     w = g.out_edges[cid][0]
-                    comp = 0.0
+                    comp_lax = 0.0
+                    comp_strict = 0.0
                     for x in g.out_edges[u]:
                         if x != cid and x in g.in_edges[w]:
-                            comp = max(comp, g.contigs[x].abundance)
-                    if np.float32(c.abundance) < dom_ratio(
-                        len(c.kmers)
-                    ) * np.float32(comp):
+                            comp_lax = max(comp_lax, g.contigs[x].abundance)
+                            if len(g.contigs[x].kmers) <= err_klen:
+                                comp_strict = max(
+                                    comp_strict, g.contigs[x].abundance
+                                )
+                    ab = np.float32(c.abundance)
+                    lax = np.float32(config.sibling_ratio)
+                    doom = ab < lax * np.float32(comp_lax)
+                    if (
+                        config.error_branch_ratio > 0.0
+                        and len(c.kmers) <= err_klen
+                    ):
+                        doom = doom or ab < err_ratio * np.float32(
+                            comp_strict
+                        )
+                    if doom:
                         doomed.append(cid)
                 continue
             # dead on exactly one side: find competitors at the junction

@@ -216,11 +216,25 @@ def test_doom_round1_matches_scalar_reference(rng):
             comp = np.float32(0.0)
             if inc_c and out_c:
                 if len(inc_c) == 1 and len(out_c) == 1:
+                    # round-5 bubble rule: strict ratio only vs
+                    # error-comparable-length competitors (exon-skip vs
+                    # substitution distinction)
                     u, w = inc_c[0], out_c[0]
+                    comp_s = np.float32(0.0)
                     for x in out_adj[u]:
-                        if x != c and x in inc_adj[w] and abv[x] > comp:
-                            comp = abv[x]
-                    return abv[c] < rv[c] * comp
+                        if x != c and x in inc_adj[w]:
+                            if abv[x] > comp:
+                                comp = abv[x]
+                            if klen[x] <= err_klen and abv[x] > comp_s:
+                                comp_s = abv[x]
+                    if abv[c] < np.float32(cfg.sibling_ratio) * comp:
+                        return True
+                    return (
+                        cfg.error_branch_ratio > 0.0
+                        and klen[c] <= err_klen
+                        and abv[c]
+                        < np.float32(cfg.error_branch_ratio) * comp_s
+                    )
                 return False
             if not inc_c:
                 for d in out_c:

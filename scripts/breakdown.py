@@ -51,7 +51,7 @@ for pass_name in ("cold", "steady"):
     t0 = tick("count", t0)
     spec = shrink_spectrum(spec)
     t0 = tick("shrink", t0)
-    spec = correct_spectrum(spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio, cfg.correction_rounds)
+    spec = correct_spectrum(spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio, cfg.correction_rounds, error_rate=cfg.error_rate)
     print(f"  corrected kmers: {int(spec.n)} cap {spec.capacity}", flush=True)
     t0 = tick("correct", t0)
     timer = StageTimer(echo=False)

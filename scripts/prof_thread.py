@@ -35,6 +35,7 @@ from shannon_tpu.ops.thread import (
     compact_thread_outputs,
     evidence_grid,
     pack_evidence,
+    slice_nodes_for_threading,
     thread_reads_device_packed,
 )
 
@@ -63,6 +64,8 @@ ca = ContigArrays(
     rc_pair=z, n_nodes=jnp.int32(len(keys)), n_contigs=jnp.int32(len(keys) // 8),
 )
 
+ca = slice_nodes_for_threading(ca)  # driver-level tight slice (round 5)
+print(f"sliced table to {ca.node_hi.shape[0]} lanes", flush=True)
 codes = rng.integers(0, 4, size=(N, L), dtype=np.uint8)
 lengths = np.full(N, L, np.int32)
 words_np = pack_words(codes)

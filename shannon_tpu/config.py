@@ -50,6 +50,21 @@ class AssemblyConfig:
     correction_rounds: int = 8
     """Max pruning rounds (fixpoint usually reached in 2-3)."""
 
+    error_rate: float = 0.01
+    """Expected per-base sequencing error rate (typical Illumina ~1%).
+    Drives the ABSOLUTE error cap on every domination prune (sibling
+    pruning, tip/bubble clipping): a branch is removed only when it is
+    ratio-dominated AND its count is consistent with sequencing error —
+    count <= lam + 4*sqrt(lam) + 1 (floored at 3) where
+    lam = error_rate/3 * competing flow, the expected count of one
+    specific substitution branch.  Rationale (round-5 splicing-gate
+    finding): a purely RELATIVE threshold deletes every minor isoform
+    below sibling_ratio of its sibling's expression no matter how deep
+    the coverage — a 6-count exon junction against a 135-count major
+    path is 22x below it but 13x ABOVE the error expectation (lam
+    0.45), i.e. unambiguously structural.  0 disables the cap (pure
+    ratio behavior)."""
+
     tip_klen: int = 0
     """Tip clipping: a dead-end contig of <= tip_klen member k-mers whose
     abundance is dominated (by sibling_ratio) at its attachment junction
@@ -126,6 +141,22 @@ class AssemblyConfig:
     """Max intermediate contigs searched for an insert-licensed gap
     join between mate paths (repeats longer than a read but shorter
     than the insert are bridged through these)."""
+
+    mb_noise_floor: float = 2.0
+    """Multibridging evidence noise floor: at an X-node with total
+    bridging evidence T >= 2*floor, pairings carrying weight <
+    max(floor, T/8) are ignored — both for the fully-bridged test and
+    for split-copy creation.  Why: error-carrying reads thread into
+    surviving error branches and deposit weight-1 CROSS pairings at
+    repeat nodes; counting them makes the node look fully bridged and
+    splits it per observed pair, deleting the unobserved true pairing's
+    continuation (measured on the paired repeat dataset: nodes with
+    {true: 6-9, cross: 1} evidence split three ways and lost one of the
+    two phasings — the 50% paired-recall stall).  Dropping noise either
+    leaves the node unsplit (all in x out paths stay enumerable —
+    recall-safe) or splits it on real pairings only.  Small totals
+    (< 2*floor) keep every pairing, so low-coverage datasets are
+    unaffected.  0 disables."""
 
     rescue_reads: bool = True
     """Read rescue (reference stage 3, SURVEY.md §3.1): use EVERY

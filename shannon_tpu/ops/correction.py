@@ -67,7 +67,9 @@ def sibling_prune_round(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "min_abundance", "max_rounds", "canonical"),
+    static_argnames=(
+        "k", "min_abundance", "max_rounds", "canonical", "error_rate",
+    ),
 )
 def _correct_fused(
     spec: Spectrum,
@@ -76,6 +78,7 @@ def _correct_fused(
     sibling_ratio: jnp.ndarray,
     max_rounds: int,
     canonical: bool,
+    error_rate: float = 0.0,
 ) -> Spectrum:
     """All correction rounds in ONE device program.
 
@@ -173,6 +176,16 @@ def _correct_fused(
         )
 
     ratio = sibling_ratio.astype(jnp.float32)
+    eps3 = jnp.float32(error_rate) / jnp.float32(3.0)
+    use_cap = error_rate > 0  # static
+
+    def _cap(F):
+        # oracle.correction.error_cap, identical float32 arithmetic
+        lam = eps3 * F
+        return jnp.maximum(
+            jnp.float32(3.0),
+            lam + jnp.float32(4.0) * jnp.sqrt(lam) + jnp.float32(1.0),
+        )
 
     def cond(st):
         r, _counts, changed = st
@@ -184,7 +197,14 @@ def _correct_fused(
         rmax = jnp.max(pc[0::P], axis=0).astype(jnp.float32)
         lmax = jnp.max(pc[1::P], axis=0).astype(jnp.float32)
         cf = counts.astype(jnp.float32)
-        doomed = (counts > 0) & ((cf < ratio * rmax) | (cf < ratio * lmax))
+        dr = cf < ratio * rmax
+        dl = cf < ratio * lmax
+        if use_cap:
+            # absolute error-model cap: ratio domination alone must not
+            # delete minor isoform branches (error_cap rationale)
+            dr = dr & (cf <= _cap(rmax))
+            dl = dl & (cf <= _cap(lmax))
+        doomed = (counts > 0) & (dr | dl)
         return r + 1, jnp.where(doomed, 0, counts), doomed.any()
 
     _, counts, _ = jax.lax.while_loop(
@@ -200,9 +220,12 @@ def correct_spectrum(
     sibling_ratio: float,
     correction_rounds: int,
     canonical: bool = True,
+    error_rate: float = 0.0,
 ) -> Spectrum:
-    """Full correction: abundance filter then pruning rounds to fixpoint
-    (one fused device program — see _correct_fused)."""
+    """Full correction: abundance filter (+ dead-end rescue when the
+    filter is engaged) then pruning rounds to fixpoint, with the
+    absolute error-model cap on domination prunes (one fused device
+    program — see _correct_fused)."""
     if sibling_ratio <= 0.0:
         return abundance_filter(spec, min_abundance)
     return _correct_fused(
@@ -212,4 +235,5 @@ def correct_spectrum(
         jnp.float32(sibling_ratio),
         correction_rounds,
         canonical,
+        error_rate,
     )

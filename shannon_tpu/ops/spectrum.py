@@ -73,6 +73,7 @@ def join_lookup_hilo(
     tlo: jnp.ndarray,
     qhi: jnp.ndarray,
     qlo: jnp.ndarray,
+    verify: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort-merge-join lookup: exact equivalent of lower_bound_hilo's
     (index, hit) for bulk query sets, built from two SORTS + cumsums +
@@ -120,7 +121,16 @@ def join_lookup_hilo(
         (sp, idx_lane, hit_lane.astype(jnp.int32)), num_keys=1
     )
     idx = jnp.minimum(r_idx[:nq], C - 1)
-    hit = (r_hit[:nq] == 1) & (thi[idx] == qhi) & (tlo[idx] == qlo)
+    hit = r_hit[:nq] == 1
+    if verify:
+        # re-gather the matched keys and compare.  The run-membership
+        # hit is already exact for real keys (equal-key runs), so this
+        # guards only against queries equal to the SENTINEL pad key —
+        # impossible for k <= 31 2-bit-packed k-mers (hi < 2^(2k-32) <
+        # SENTINEL), hence the threading kernel skips these two bulk
+        # gathers (verify=False; measured: gathers are the slow
+        # primitive on this part, docs/DESIGN.md)
+        hit = hit & (thi[idx] == qhi) & (tlo[idx] == qlo)
     return idx.reshape(shape), hit.reshape(shape)
 
 
@@ -129,6 +139,7 @@ def lookup_hilo(
     tlo: jnp.ndarray,
     qhi: jnp.ndarray,
     qlo: jnp.ndarray,
+    verify: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-hit lookup with shape-static kernel dispatch: sort-merge
     join for bulk query sets (19x faster at pipeline shapes — 898ms vs
@@ -147,7 +158,7 @@ def lookup_hilo(
     # log2(C) gather passes over nq lanes, and a gather pass costs ~2x
     # a sort pass per lane on this hardware (docs/DESIGN.md)
     if nq * max(C.bit_length(), 1) >= C + nq:
-        return join_lookup_hilo(thi, tlo, qhi, qlo)
+        return join_lookup_hilo(thi, tlo, qhi, qlo, verify=verify)
     return lower_bound_hilo(thi, tlo, qhi, qlo)
 
 

@@ -68,11 +68,47 @@ def thread_reads_device_packed(
     return _thread_windows(hi, lo, valid, ca)
 
 
+def slice_nodes_for_threading(ca: ContigArrays) -> ContigArrays:
+    """Driver-level (host) shrink of the node table to the tight grid
+    around its REAL node count: the threading join's sort cost scales
+    with (table + query) lanes, and the post-clip table capacity
+    carries up to ~50% SENTINEL padding that the join would sort every
+    batch.  Node lanes are front-compacted + sorted, so a prefix slice
+    is exact; contig-indexed fields are sliced alongside (threading
+    reads only node_* fields, but a consistent pytree keeps jit
+    caching simple).  No device compute — array views only."""
+    from shannon_tpu.ops.count import tight_capacity
+
+    n = int(ca.n_nodes)
+    cap = tight_capacity(n, minimum=1 << 14)
+    if cap >= ca.node_hi.shape[0]:
+        return ca
+    return ContigArrays(
+        node_hi=ca.node_hi[:cap],
+        node_lo=ca.node_lo[:cap],
+        node_count=ca.node_count[:cap],
+        node_cid=ca.node_cid[:cap],
+        node_off=ca.node_off[:cap],
+        klen=ca.klen[:cap],
+        abundance=ca.abundance[:cap],
+        count_sum=ca.count_sum[:cap],
+        head_lane=ca.head_lane[:cap],
+        tail_lane=ca.tail_lane[:cap],
+        out_edges=ca.out_edges[:, :cap],
+        rc_pair=ca.rc_pair[:cap],
+        n_nodes=ca.n_nodes,
+        n_contigs=ca.n_contigs,
+    )
+
+
 def _thread_windows(hi, lo, valid, ca: ContigArrays):
     """Shared threading body on extracted window k-mers."""
     N, W = hi.shape
+    # verify=False: run-membership hits are exact for 2-bit-packed
+    # k-mers (see join_lookup_hilo) — skips two bulk gathers per batch
     idx, hit = lookup_hilo(
-        ca.node_hi, ca.node_lo, hi.reshape(-1), lo.reshape(-1)
+        ca.node_hi, ca.node_lo, hi.reshape(-1), lo.reshape(-1),
+        verify=False,
     )
     idx = idx.reshape(N, W)
     hit = (hit.reshape(N, W)) & valid

@@ -90,11 +90,14 @@ def _doom_round1(
     Float semantics match _doom_check bit-for-bit: abundances and
     competitor maxima are float32, comparisons are
     float32(c) < rv * comp with comp starting at 0.0."""
+    from shannon_tpu.oracle.correction import error_cap
+
     n = len(klen)
     tip_klen = config.tip_klen_effective
     ratio = np.float32(config.sibling_ratio)
     err_klen = config.error_klen_effective
     err_ratio = np.float32(config.error_branch_ratio)
+    er = config.error_rate
     min_len = config.min_transcript_length
     k1 = config.k - 1
     abv = np.float32(csum) / np.float32(klen)
@@ -150,7 +153,9 @@ def _doom_round1(
     compR = np.zeros(n, np.float32)
     np.maximum.at(compR, src, e_val.astype(np.float32))
     selR = short & (indeg == 0) & (outdeg > 0)
-    doom[selR] = np.float32(abv[selR]) < rv[selR] * compR[selR]
+    doom[selR] = (np.float32(abv[selR]) < rv[selR] * compR[selR]) & (
+        abv[selR] <= error_cap(compR[selR], er)
+    )
 
     # dead-end attached on the left (no out, has in):
     #   comp = max over d in inc[c] of (max abv of succs of d except c)
@@ -158,7 +163,9 @@ def _doom_round1(
     compL = np.zeros(n, np.float32)
     np.maximum.at(compL, dst, e_val2.astype(np.float32))
     selL = short & (outdeg == 0) & (indeg > 0)
-    doom[selL] = np.float32(abv[selL]) < rv[selL] * compL[selL]
+    doom[selL] = (np.float32(abv[selL]) < rv[selL] * compL[selL]) & (
+        abv[selL] <= error_cap(compL[selL], er)
+    )
 
     # bubble: short, indeg == 1 and outdeg == 1 — competitor is the
     # best x in out[u] ∩ inc[w], x != c, where u/w are the unique
@@ -199,11 +206,14 @@ def _doom_round1(
             comp_s = np.maximum(
                 comp_s, np.where(ok_s, abv[x], np.float32(0.0))
             ).astype(np.float32)
-        lax_doom = np.float32(abv[cb]) < np.float32(ratio) * comp
+        lax_doom = (np.float32(abv[cb]) < np.float32(ratio) * comp) & (
+            abv[cb] <= error_cap(comp, er)
+        )
         strict_doom = (
             (err_ratio > 0.0)
             & (klen[cb] <= err_klen)
             & (np.float32(abv[cb]) < err_ratio * comp_s)
+            & (abv[cb] <= error_cap(comp_s, er))
         )
         doom[cb] = lax_doom | strict_doom
     return np.nonzero(doom)[0]
@@ -247,6 +257,10 @@ def _host_clip_rounds(
         rv = np.full(n, ratio, np.float32)
     k1 = config.k - 1
 
+    from shannon_tpu.oracle.correction import error_cap
+
+    er = config.error_rate
+
     def _doom_check(c: int) -> bool:
         """Jacobi doom decision for contig c (pure — reads current
         state, mutates nothing); semantics identical to oracle
@@ -264,7 +278,8 @@ def _host_clip_rounds(
                 # bubble: strict ratio only vs ERROR-comparable-length
                 # competitors (an exon-skip junction has the same <= k-1
                 # footprint as a substitution bubble but competes with a
-                # whole exon — see oracle clip_tips bubble rule)
+                # whole exon — see oracle clip_tips bubble rule); every
+                # domination test carries the absolute error cap
                 u, w = inc_c[0], out_c[0]
                 inc_w = inc[w]
                 comp_strict = np.float32(0.0)
@@ -274,12 +289,13 @@ def _host_clip_rounds(
                             comp = abv[x]
                         if kl[x] <= err_klen and abv[x] > comp_strict:
                             comp_strict = abv[x]
-                if abv[c] < ratio * comp:
+                if abv[c] < ratio * comp and abv[c] <= error_cap(comp, er):
                     return True
                 return (
                     err_ratio > 0.0
                     and kl[c] <= err_klen
                     and abv[c] < err_ratio * comp_strict
+                    and abv[c] <= error_cap(comp_strict, er)
                 )
             return False
         if not has_in:  # attached on the right
@@ -292,7 +308,7 @@ def _host_clip_rounds(
                 for e in out[d]:
                     if e != c and abv[e] > comp:
                         comp = abv[e]
-        return abv[c] < rv[c] * comp
+        return abv[c] < rv[c] * comp and abv[c] <= error_cap(comp, er)
 
     # Incremental fixpoint: round 1 scans every contig; later rounds
     # scan only contigs within 2 undirected hops of a change (a doom

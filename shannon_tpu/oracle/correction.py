@@ -145,6 +145,30 @@ def resolve_min_abundance(config, counts: dict[int, int] | None = None,
     return choose_min_abundance(hist)
 
 
+def error_cap(comp, error_rate: float):
+    """Absolute error-model cap (binding for both backends, float32):
+    the largest branch count consistent with SEQUENCING ERROR against
+    competing flow `comp` — lam + 4*sqrt(lam) + 1 with
+    lam = error_rate/3 * comp (the expected count of one specific
+    substitution branch), floored at 3.  A ratio-dominated branch is
+    pruned only when its count is ALSO <= this cap: relative domination
+    alone deletes every minor isoform below sibling_ratio of its
+    sibling's expression regardless of coverage depth, while real error
+    branches sit within a few sigma of lam at every scale (round-5
+    splicing-gate finding; see AssemblyConfig.error_rate).
+    error_rate <= 0 disables (returns +inf).  Accepts scalars or
+    arrays; all arithmetic float32 so device/oracle decisions agree
+    bit-for-bit at threshold boundaries."""
+    if error_rate <= 0:
+        return np.float32(np.inf)
+    eps3 = np.float32(error_rate) / np.float32(3.0)
+    lam = eps3 * np.float32(comp)
+    return np.maximum(
+        np.float32(3.0),
+        lam + np.float32(4.0) * np.sqrt(lam) + np.float32(1.0),
+    )
+
+
 def _alive_count(counts: dict[int, int], v: int, k: int, strand_specific: bool) -> int:
     key = v if strand_specific else canon_kmer(v, k)
     return counts.get(key, 0)
@@ -250,9 +274,15 @@ def correct_kmers(
             for b in range(4):
                 lmax = max(lmax, _alive_count(alive, (b << hi_shift) | suf, k, ss))
             ratio = np.float32(config.sibling_ratio)
-            if np.float32(c) < ratio * np.float32(rmax) or np.float32(
-                c
-            ) < ratio * np.float32(lmax):
+            cf = np.float32(c)
+            doom = (
+                cf < ratio * np.float32(rmax)
+                and cf <= error_cap(np.float32(rmax), config.error_rate)
+            ) or (
+                cf < ratio * np.float32(lmax)
+                and cf <= error_cap(np.float32(lmax), config.error_rate)
+            )
+            if doom:
                 pruned.append(v)
         if not pruned:
             break
@@ -321,13 +351,17 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                                 )
                     ab = np.float32(c.abundance)
                     lax = np.float32(config.sibling_ratio)
-                    doom = ab < lax * np.float32(comp_lax)
+                    er = config.error_rate
+                    doom = ab < lax * np.float32(comp_lax) and ab <= error_cap(
+                        np.float32(comp_lax), er
+                    )
                     if (
                         config.error_branch_ratio > 0.0
                         and len(c.kmers) <= err_klen
                     ):
-                        doom = doom or ab < err_ratio * np.float32(
-                            comp_strict
+                        doom = doom or (
+                            ab < err_ratio * np.float32(comp_strict)
+                            and ab <= error_cap(np.float32(comp_strict), er)
                         )
                     if doom:
                         doomed.append(cid)
@@ -344,10 +378,13 @@ def clip_tips(alive: dict[int, int], config: AssemblyConfig) -> dict[int, int]:
                     for e in g.out_edges[d]:
                         if e != cid:
                             comp = max(comp, g.contigs[e].abundance)
-            # float32 comparison — device compute precision (parity)
+            # float32 comparison — device compute precision (parity);
+            # error-cap conjunction as everywhere (error_cap rationale)
             if np.float32(c.abundance) < dom_ratio(
                 len(c.kmers)
-            ) * np.float32(comp):
+            ) * np.float32(comp) and np.float32(c.abundance) <= error_cap(
+                np.float32(comp), config.error_rate
+            ):
                 doomed.append(cid)
         if not doomed:
             break

@@ -509,6 +509,21 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
             pairs = ev.get(v)
             if not pairs:
                 continue
+            # noise floor (config.mb_noise_floor): error reads thread
+            # into surviving error branches and deposit low-weight cross
+            # pairings; counting them splits the node per spurious pair
+            # and deletes the true continuation.  Dropping them either
+            # leaves the node unsplit (all paths stay enumerable) or
+            # splits on real pairings only.
+            nf = config.mb_noise_floor
+            total_ev = sum(pairs.values())
+            if nf > 0 and total_ev >= 2 * nf:
+                floor = max(nf, total_ev / 8.0)
+                pairs = Counter(
+                    {p: w for p, w in pairs.items() if w >= floor}
+                )
+                if not pairs:
+                    continue
             ins = {a for (a, _b) in pairs}
             outs = {b for (_a, b) in pairs}
             if ins == set(g.nodes[v].inc) and outs == set(g.nodes[v].out):

@@ -143,6 +143,7 @@ def _spectrum_device(
         config.sibling_ratio,
         config.correction_rounds,
         canonical=canonical,
+        error_rate=config.error_rate,
     )
     # 1-element fetch: on the axon runtime block_until_ready does NOT
     # force remote execution, so without this the correction chain's
@@ -246,11 +247,13 @@ def _thread_device(
         pack_evidence,
         paths_to_lists,
         runs_to_flat_paths,
+        slice_nodes_for_threading,
         thread_reads_device_packed,
         unpack_evidence,
     )
 
     t0 = _time.perf_counter()
+    ca = slice_nodes_for_threading(ca)  # join cost scales with table lanes
     n = batch.n_reads
     bs = config.batch_reads
     parts: list[tuple[dict, int, int]] = []
@@ -421,6 +424,27 @@ def _sf_solver(backend: str):
     from shannon_tpu.ops.sparseflow import solve_nodes_device
 
     return solve_nodes_device
+
+
+def _release_device(tree) -> None:
+    """Explicitly free the device (HBM) buffers backing a pytree.
+
+    Called the moment a stage's arrays are dead (the contig/node tables
+    after threading — the last device consumer).  Python's GC frees
+    them eventually, but 'eventually' interleaves with the NEXT
+    assembly's allocations: at 4M-read table sizes a second in-process
+    assembly died of allocator fragmentation (RESOURCE_EXHAUSTED during
+    the steady pass — docs/SCALING.md known limit, VERDICT r4 item 7).
+    Early explicit deletion returns the largest blocks to the arena
+    before any new allocation happens."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "delete"):
+            try:
+                leaf.delete()
+            except Exception:
+                pass  # already deleted / committed elsewhere
 
 
 def _assemble_device_backhalf(
@@ -628,6 +652,7 @@ def assemble(
             comps = device_components(ca)  # GPMETIS replacement, on device
         with timer.stage("threading"):
             evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
+        _release_device(ca)  # last device consumer of the node tables
     elif backend == "oracle":
         with timer.stage("spectrum", n_reads=len(reads)):
             alive = _spectrum_oracle(reads, config)
@@ -880,6 +905,7 @@ def run_pipeline(
                 comps = device_components(ca)
             with timer.stage("threading"):
                 evidence = _thread_device(batch, ca, cgraph, config, timer=timer)
+            _release_device(ca)
         else:
             with timer.stage("graph"):
                 if alive is None:

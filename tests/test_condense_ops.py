@@ -104,7 +104,8 @@ def test_condense_after_correction_parity(rng):
     b = pack_reads(reads, pad_length=70)
     spec = count_spectrum(jnp.asarray(b.codes), jnp.asarray(b.lengths), cfg.k, 1 << 14)
     spec = correct_spectrum(
-        spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio, cfg.correction_rounds
+        spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
+        cfg.correction_rounds, error_rate=cfg.error_rate,
     )
     ca = build_contig_arrays(spec, cfg.k)
     dev = to_contig_graph(ca, cfg.k, cfg)

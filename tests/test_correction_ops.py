@@ -93,7 +93,7 @@ def test_correct_spectrum_parity(rng, k, canonical):
     spec = _spec_of(reads, k, canonical=canonical)
     got = correct_spectrum(
         spec, k, cfg.min_abundance, cfg.sibling_ratio, cfg.correction_rounds,
-        canonical,
+        canonical, error_rate=cfg.error_rate,
     )
     oracle = correct_kmers(
         count_kmers(reads, k, strand_specific=not canonical), cfg

@@ -28,7 +28,7 @@ def _both_graphs(reads, cfg, cap=1 << 16):
     assert not spec.overflowed()
     spec = correct_spectrum(
         spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
-        cfg.correction_rounds, canonical,
+        cfg.correction_rounds, canonical, error_rate=cfg.error_rate,
     )
     ca = build_contig_arrays(spec, cfg.k, canonical)
     dev_graph = to_contig_graph(ca, cfg.k, cfg)

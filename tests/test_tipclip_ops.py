@@ -10,7 +10,7 @@ from shannon_tpu.io.pack import pack_reads
 from shannon_tpu.ops.correction import correct_spectrum
 from shannon_tpu.ops.count import count_spectrum
 from shannon_tpu.ops.tipclip import clip_tips_spectrum
-from shannon_tpu.oracle.correction import clip_tips, correct_kmers
+from shannon_tpu.oracle.correction import clip_tips, correct_kmers, error_cap
 from shannon_tpu.oracle.counting import count_kmers
 from shannon_tpu.sim import sample_reads, simulate_isoforms, simulate_transcripts
 
@@ -24,7 +24,7 @@ def _device_alive(reads, cfg, cap=1 << 16):
     assert not spec.overflowed(), "test capacity too small"
     spec = correct_spectrum(
         spec, cfg.k, cfg.min_abundance, cfg.sibling_ratio,
-        cfg.correction_rounds, canonical,
+        cfg.correction_rounds, canonical, error_rate=cfg.error_rate,
     )
     spec = clip_tips_spectrum(spec, cfg, canonical)
     return spec.to_dict()
@@ -227,13 +227,16 @@ def test_doom_round1_matches_scalar_reference(rng):
                                 comp = abv[x]
                             if klen[x] <= err_klen and abv[x] > comp_s:
                                 comp_s = abv[x]
-                    if abv[c] < np.float32(cfg.sibling_ratio) * comp:
+                    if abv[c] < np.float32(
+                        cfg.sibling_ratio
+                    ) * comp and abv[c] <= error_cap(comp, cfg.error_rate):
                         return True
                     return (
                         cfg.error_branch_ratio > 0.0
                         and klen[c] <= err_klen
                         and abv[c]
                         < np.float32(cfg.error_branch_ratio) * comp_s
+                        and abv[c] <= error_cap(comp_s, cfg.error_rate)
                     )
                 return False
             if not inc_c:
@@ -246,7 +249,9 @@ def test_doom_round1_matches_scalar_reference(rng):
                     for e in out_adj[d]:
                         if e != c and abv[e] > comp:
                             comp = abv[e]
-            return abv[c] < rv[c] * comp
+            return abv[c] < rv[c] * comp and abv[c] <= error_cap(
+                comp, cfg.error_rate
+            )
 
         expect = [c for c in range(n) if scalar_doom(c)]
         got = _doom_round1(klen, csum, out_adj, cfg).tolist()

@@ -185,7 +185,17 @@ def sample_paired_reads(
     error_rate: float = 0.0,
 ) -> list[str]:
     """Paired-end fragments: mate 1 = fragment start (fwd), mate 2 = RC of
-    fragment end; interleaved [L0, R0, L1, R1, ...]."""
+    fragment end; interleaved [L0, R0, L1, R1, ...].
+
+    Same sampling contract as sample_reads: the deterministic tiling
+    fragments are ERROR-FREE (every k-mer window and junction is
+    guaranteed covered by clean sequence, so recovery failures in tests
+    mean assembler bugs, not sampling gaps), and errors apply to the
+    random top-up fragments only.  (Until round 5 the tiles were
+    mutated too — the paired repeat gate's terminal windows then had a
+    single error-carrying read and were UNRECOVERABLE: the '50% exact
+    recall stall' was 97.6-99.8%-recovered transcripts missing their
+    last few unsequenceable bases, not a phasing failure.)"""
     from shannon_tpu.io.dna import revcomp_str
 
     if abundances is None:
@@ -201,10 +211,14 @@ def sample_paired_reads(
             tile.append(last)
         n_frags = int(np.ceil(coverage * ab * len(t) / (2 * read_length)))
         extra = rng.integers(0, last + 1, size=max(n_frags - len(tile), 0))
-        for s in [*tile, *extra.tolist()]:
+        for i, s in enumerate([*tile, *extra.tolist()]):
             frag = t[s : s + insert_size]
             left = frag[:read_length]
             right = revcomp_str(frag[-read_length:])
-            reads.append(mutate(rng, left, error_rate))
-            reads.append(mutate(rng, right, error_rate))
+            if i < len(tile):  # clean tiling anchors (sampling contract)
+                reads.append(left)
+                reads.append(right)
+            else:
+                reads.append(mutate(rng, left, error_rate))
+                reads.append(mutate(rng, right, error_rate))
     return reads

@@ -103,12 +103,13 @@ def _correct_fused(
     hs = 2 * (k - 1)
     rescue = min_abundance > 1  # static: the 8-probe program is
     # unchanged when no filter is engaged (shallow/clean data)
-    probes_h, probes_l = [], []
+    sib_h, sib_l = [], []
+    ext_h, ext_l = [], []
     for b in range(4):
         bb = jnp.uint32(b)
         # right sibling: prefix·b
-        probes_h.append(hi)
-        probes_l.append((lo & ~jnp.uint32(3)) | bb)
+        sib_h.append(hi)
+        sib_l.append((lo & ~jnp.uint32(3)) | bb)
         # left sibling: b·suffix
         sh = hi & (hi_mask >> 2) if 2 * k > 32 else hi
         sl = lo if 2 * k > 32 else lo & (lo_mask >> 2)
@@ -118,12 +119,12 @@ def _correct_fused(
         else:
             lsh = sh
             lsl = sl | (bb << hs)
-        probes_h.append(lsh)
-        probes_l.append(lsl)
+        sib_h.append(lsh)
+        sib_l.append(lsl)
         if rescue:
             # right extension: ((v << 2) | b) masked
-            probes_h.append(((hi << 2) | (lo >> 30)) & hi_mask)
-            probes_l.append(((lo << 2) | bb) & lo_mask)
+            ext_h.append(((hi << 2) | (lo >> 30)) & hi_mask)
+            ext_l.append(((lo << 2) | bb) & lo_mask)
             # left extension: (v >> 2) | (b << 2(k-1))
             lh = hi >> 2
             ll = (lo >> 2) | (hi << 30)
@@ -131,16 +132,28 @@ def _correct_fused(
                 lh = lh | (bb << (hs - 32))
             else:
                 ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
-            probes_h.append(lh)
-            probes_l.append(ll)
-    P = 4 if rescue else 2  # probes per base: (rsib, lsib[, rext, lext])
-    ph = jnp.stack(probes_h, axis=0)  # [4P, C]
-    pl = jnp.stack(probes_l, axis=0)
-    if canonical:
-        ph, pl = canonical_hilo(ph, pl, k)
-    idx, hit = lookup_hilo(hi, lo, ph.reshape(-1), pl.reshape(-1))
-    idx = jnp.clip(idx.reshape(4 * P, C), 0, C - 1)
-    hit = hit.reshape(4 * P, C)
+            ext_h.append(lh)
+            ext_l.append(ll)
+
+    def _resolve(phs, pls):
+        # one join per 8-probe set — NOT one 16-probe join: the join
+        # sort's transient HBM scales with (table + query) lanes, and a
+        # single 16C-query join at the raw 1M-read table (~200M lanes)
+        # crashed the TPU worker; two sequential 8C joins keep the peak
+        # at the r4-proven size
+        ph = jnp.stack(phs, axis=0)
+        pl = jnp.stack(pls, axis=0)
+        if canonical:
+            ph, pl = canonical_hilo(ph, pl, k)
+        i_, h_ = lookup_hilo(hi, lo, ph.reshape(-1), pl.reshape(-1))
+        return (
+            jnp.clip(i_.reshape(8, C), 0, C - 1),
+            h_.reshape(8, C),
+        )
+
+    sidx, shit = _resolve(sib_h, sib_l)  # [8, C]: (rsib, lsib) x 4
+    if rescue:
+        eidx, ehit = _resolve(ext_h, ext_l)  # [8, C]: (rext, lext) x 4
 
     pad = (hi == SENTINEL) & (lo == SENTINEL)
     raw = jnp.where(pad, 0, spec.count)
@@ -159,11 +172,12 @@ def _correct_fused(
 
         def rbody(st):
             r, counts, _ = st
-            pa = hit & (counts[idx] > 0)  # [16, C] alive gathers
-            rsib_dead = ~jnp.any(pa[0::4], axis=0)
-            lsib_dead = ~jnp.any(pa[1::4], axis=0)
-            rext_any = jnp.any(pa[2::4], axis=0)
-            lext_any = jnp.any(pa[3::4], axis=0)
+            pa_s = shit & (counts[sidx] > 0)  # [8, C] alive gathers
+            pa_e = ehit & (counts[eidx] > 0)
+            rsib_dead = ~jnp.any(pa_s[0::2], axis=0)
+            lsib_dead = ~jnp.any(pa_s[1::2], axis=0)
+            rext_any = jnp.any(pa_e[0::2], axis=0)
+            lext_any = jnp.any(pa_e[1::2], axis=0)
             resc = (
                 (raw > 0)
                 & (counts == 0)
@@ -193,9 +207,9 @@ def _correct_fused(
 
     def body(st):
         r, counts, _ = st
-        pc = jnp.where(hit, counts[idx], 0)  # [4P, C] gathers
-        rmax = jnp.max(pc[0::P], axis=0).astype(jnp.float32)
-        lmax = jnp.max(pc[1::P], axis=0).astype(jnp.float32)
+        pc = jnp.where(shit, counts[sidx], 0)  # [8, C] gathers
+        rmax = jnp.max(pc[0::2], axis=0).astype(jnp.float32)
+        lmax = jnp.max(pc[1::2], axis=0).astype(jnp.float32)
         cf = counts.astype(jnp.float32)
         dr = cf < ratio * rmax
         dl = cf < ratio * lmax

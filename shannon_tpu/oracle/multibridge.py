@@ -368,6 +368,23 @@ def thread_reads(
     )
 
 
+def filter_noise_pairs(
+    pairs: Counter | None, config: AssemblyConfig
+) -> Counter | None:
+    """Evidence pairs above the noise floor: weight >= max(floor, T/8)
+    when total T >= 2*floor (see config.mb_noise_floor); small totals
+    keep everything.  Shared by MB resolution and SF's evidence
+    union."""
+    if not pairs:
+        return pairs
+    nf = config.mb_noise_floor
+    total_ev = sum(pairs.values())
+    if nf > 0 and total_ev >= 2 * nf:
+        floor = max(nf, total_ev / 8.0)
+        return Counter({p: w for p, w in pairs.items() if w >= floor})
+    return pairs
+
+
 def _evidence_at(g: NodeGraph) -> dict[int, Counter]:
     """Bridging evidence per node: ev[v][(a, b)] = total weight of path
     triples (a, v, b).  Vectorized over the flat path arrays — one
@@ -506,24 +523,15 @@ def multibridge(g: NodeGraph, config: AssemblyConfig, max_rounds: int = 16) -> i
         ev = _evidence_at(g)
         targets: list[tuple[int, Counter]] = []
         for v in g.x_nodes():
-            pairs = ev.get(v)
-            if not pairs:
-                continue
             # noise floor (config.mb_noise_floor): error reads thread
             # into surviving error branches and deposit low-weight cross
             # pairings; counting them splits the node per spurious pair
             # and deletes the true continuation.  Dropping them either
             # leaves the node unsplit (all paths stay enumerable) or
             # splits on real pairings only.
-            nf = config.mb_noise_floor
-            total_ev = sum(pairs.values())
-            if nf > 0 and total_ev >= 2 * nf:
-                floor = max(nf, total_ev / 8.0)
-                pairs = Counter(
-                    {p: w for p, w in pairs.items() if w >= floor}
-                )
-                if not pairs:
-                    continue
+            pairs = filter_noise_pairs(ev.get(v), config)
+            if not pairs:
+                continue
             ins = {a for (a, _b) in pairs}
             outs = {b for (_a, b) in pairs}
             if ins == set(g.nodes[v].inc) and outs == set(g.nodes[v].out):

@@ -338,6 +338,8 @@ def sparse_flow(
     X-nodes; default is the per-node host solver, the device backend
     passes the batched kernel (ops/sparseflow.solve_nodes_device) —
     both produce identical pairings (tested)."""
+    from shannon_tpu.oracle.multibridge import _evidence_at, filter_noise_pairs
+
     total = 0
     for _ in range(max_rounds):
         g.condense()
@@ -349,9 +351,31 @@ def sparse_flow(
             solved = {v: solve_node(g, v, config, flows) for v in xs}
         else:
             solved = solver(g, xs, config, flows)
+        # evidence union (round 5, recall-first): the margins are LOCAL
+        # abundance estimates, and at noisy shared-exon nodes the
+        # decomposition's pairing choice deletes continuations that
+        # reads DIRECTLY witnessed (splicing gate: 12 of 14 resolution
+        # failures were SF dropping read-witnessed pairings the margins
+        # mis-assigned).  Every above-noise-floor evidence pairing is
+        # therefore added to the split with its read-crossing weight as
+        # flow — the LP refines abundances, it must never contradict
+        # direct observation.
+        ev = _evidence_at(g)
         split_map: dict[int, dict[tuple[int, int], int]] = {}
         for v in xs:
             pairings = solved.get(v) or []
+            pairs_ev = filter_noise_pairs(ev.get(v), config)
+            if pairs_ev:
+                node_v = g.nodes[v]
+                inc_set, out_set = set(node_v.inc), set(node_v.out)
+                have = {(u, w) for u, w, _f in pairings}
+                for (a_, b_), wt in sorted(pairs_ev.items()):
+                    if (
+                        (a_, b_) not in have
+                        and a_ in inc_set
+                        and b_ in out_set
+                    ):
+                        pairings.append((a_, b_, float(wt)))
             if not pairings:
                 continue
             node = g.nodes[v]

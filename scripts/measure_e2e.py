@@ -7,6 +7,9 @@ first call / 66ms steady for the counting kernel); the second (steady)
 run is the production-throughput number (a deployment streams many
 datasets through one resident process)."""
 import os, sys, time, json, resource
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 50000

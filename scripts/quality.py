@@ -199,6 +199,26 @@ def run_splicing(backend: str) -> dict:
                 "exact": hit,
             }
         )
+    # paired-end variant on the SAME transcriptome: shared exons longer
+    # than a read leave no single-read (a, v, b) triple to witness, so
+    # their nodes are locally ambiguous — mate bridging is the designed
+    # resolver (SURVEY.md §6 'long context').  Isoforms shorter than
+    # the insert are unsampled by the paired sim (noted, not an
+    # assembler property).
+    from shannon_tpu.sim import sample_paired_reads
+
+    rng_p = np.random.default_rng(SG_SEED + 1)
+    insert = 350
+    preads = sample_paired_reads(
+        rng_p, truth, abundances=abund, coverage=SG_COVERAGE,
+        read_length=READ_LEN, insert_size=insert, error_rate=ERROR_RATE,
+    )
+    res_p = assemble(preads, cfg, backend=backend, paired=True)
+    m_p = evaluate(truth, [t.seq for t in res_p.transcripts], k=cfg.k)
+    m_p["n_isoforms_below_insert"] = sum(
+        1 for t in truth if len(t) < insert
+    )
+
     return {
         "dataset": {
             "seed": SG_SEED,
@@ -216,8 +236,14 @@ def run_splicing(backend: str) -> dict:
         "backend": backend,
         "wall_s": round(wall, 1),
         "metrics": m,
+        "metrics_paired": m_p,
+        "paired_insert_size": insert,
         "per_abundance_decile": deciles,
         "assembly_stats": res.stats,
+        "assembly_stats_paired": {
+            k2: res_p.stats[k2]
+            for k2 in ("n_mb_splits", "n_sf_splits", "n_transcripts")
+        },
     }
 
 
@@ -336,6 +362,23 @@ def render(data: dict) -> str:
             f"| MB splits | {s['n_mb_splits']} |",
             f"| **SF splits exercised** | **{s['n_sf_splits']}** |",
             "",
+        ]
+        if "metrics_paired" in p:
+            mp = p["metrics_paired"]
+            md += [
+                f"Paired-end variant (insert {p['paired_insert_size']}bp,"
+                " same transcriptome): exact recall "
+                f"**{mp['recall_exact']:.1%}**, partial "
+                f"{mp['recall_partial']:.1%}, precision "
+                f"{mp['precision']:.1%} — shared exons longer than a"
+                " read leave no single-read evidence triple, so their"
+                " nodes are locally ambiguous; mate bridging resolves"
+                f" them.  ({mp['n_isoforms_below_insert']} isoforms are"
+                " shorter than the insert and unsampled by the paired"
+                " sim.)",
+                "",
+            ]
+        md += [
             "Exact recall per abundance decile (low -> high expression):",
             "",
             "| decile | abundance | n | exact |",

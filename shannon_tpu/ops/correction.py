@@ -153,6 +153,14 @@ def _correct_fused(
 
     sidx, shit = _resolve(sib_h, sib_l)  # [8, C]: (rsib, lsib) x 4
     if rescue:
+        # hard scheduling dependency: the two joins are data-independent
+        # and XLA overlaps them, which doubles the transient-HBM peak
+        # right back to the crashing 16-probe level — barrier the
+        # extension probes on the sibling join's output so the joins
+        # run strictly one after the other
+        (ext_h, ext_l), _ = jax.lax.optimization_barrier(
+            ((ext_h, ext_l), shit)
+        )
         eidx, ehit = _resolve(ext_h, ext_l)  # [8, C]: (rext, lext) x 4
 
     pad = (hi == SENTINEL) & (lo == SENTINEL)

@@ -123,7 +123,13 @@ def _spectrum_device(
     # smaller/faster programs too (ops/count.tight_capacity)
     from shannon_tpu.ops.count import shrink_spectrum
 
+    pre = spec
     spec = shrink_spectrum(spec)
+    if spec is not pre:
+        # free the pre-shrink counting table NOW: correction's join
+        # transients are the process peak, and the counting arenas are
+        # pure dead weight from here on
+        _release_device((pre.hi, pre.lo, pre.count))
     min_ab = config.min_abundance
     if min_ab == 0:
         # auto abundance threshold (VERDICT r4 item 1): one device
@@ -156,7 +162,10 @@ def _spectrum_device(
     # point), and tip-clip condensation cost is table-capacity-bound —
     # running it at the post-filter tight capacity is the bulk of the
     # round-5 front-half win
+    pre = spec
     spec = shrink_spectrum(spec)
+    if spec is not pre:
+        _release_device((pre.hi, pre.lo, pre.count))
     t2 = _time.perf_counter()
     if timer:
         timer.note("spectrum+graph", correct_s=round(t2 - t1, 2))

@@ -74,34 +74,18 @@ def sibling_prune_round(
     return _compact(spec, ~doomed & ~pad)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "min_abundance", "max_rounds", "canonical", "error_rate",
-    ),
-)
-def _correct_fused(
-    spec: Spectrum,
-    k: int,
-    min_abundance: int,
-    sibling_ratio: jnp.ndarray,
-    max_rounds: int,
-    canonical: bool,
-    error_rate: float = 0.0,
-) -> Spectrum:
-    """All correction rounds in ONE device program.
-
-    The sibling probe TARGETS never change across rounds (pruning
-    removes entries; the old per-round path re-joined the shrinking
-    table every round — 8C-query sort-merge joins plus a compaction
-    sort plus a host sync PER ROUND, ~15s of the 1M front half).  Here
-    the 8 sibling indices are resolved once, pruning zeroes counts in
-    place (a zero-count sibling contributes exactly what an absent one
-    does to the max, and a zero-count entry can never be doomed again),
-    rounds run as pure gathers under an early-exit while_loop, and ONE
-    final compaction sort rebuilds the table.  Decision semantics are
-    identical to the per-round path (jacobi float32 ratio tests) —
-    pinned by the oracle parity suite."""
+@partial(jax.jit, static_argnames=("k", "canonical", "side"))
+def _probe_resolve(spec: Spectrum, k: int, canonical: bool, side: str):
+    """Resolve one 8-probe set ((rsib, lsib) x 4 for side='sib', or
+    (rext, lext) x 4 for side='ext') against the table via one
+    sort-merge join.  One join per program call — NOT one 16-probe
+    join, and not two joins in one program: the join sort's transient
+    HBM scales with table+query lanes; a 16C-query join at the raw
+    1M-read table (~200M lanes) crashed the TPU worker, and XLA
+    overlaps two independent joins inside one program, doubling the
+    peak right back.  Probe targets never change across correction
+    rounds (pruning/rescue only toggles counts), so each set resolves
+    exactly once."""
     from shannon_tpu.ops.spectrum import lookup_hilo
     from shannon_tpu.ops.kmers import canonical_hilo
 
@@ -110,30 +94,26 @@ def _correct_fused(
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1 if 2 * k > 32 else 0)
     lo_mask = jnp.uint32(0xFFFFFFFF if 2 * k >= 32 else (1 << (2 * k)) - 1)
     hs = 2 * (k - 1)
-    rescue = min_abundance > 1  # static: the 8-probe program is
-    # unchanged when no filter is engaged (shallow/clean data)
-    sib_h, sib_l = [], []
-    ext_h, ext_l = [], []
+    probes_h, probes_l = [], []
     for b in range(4):
         bb = jnp.uint32(b)
-        # right sibling: prefix·b
-        sib_h.append(hi)
-        sib_l.append((lo & ~jnp.uint32(3)) | bb)
-        # left sibling: b·suffix
-        sh = hi & (hi_mask >> 2) if 2 * k > 32 else hi
-        sl = lo if 2 * k > 32 else lo & (lo_mask >> 2)
-        if hs >= 32:
-            lsh = sh | (bb << (hs - 32))
-            lsl = sl
+        if side == "sib":
+            # right sibling: prefix·b
+            probes_h.append(hi)
+            probes_l.append((lo & ~jnp.uint32(3)) | bb)
+            # left sibling: b·suffix
+            sh = hi & (hi_mask >> 2) if 2 * k > 32 else hi
+            sl = lo if 2 * k > 32 else lo & (lo_mask >> 2)
+            if hs >= 32:
+                probes_h.append(sh | (bb << (hs - 32)))
+                probes_l.append(sl)
+            else:
+                probes_h.append(sh)
+                probes_l.append(sl | (bb << hs))
         else:
-            lsh = sh
-            lsl = sl | (bb << hs)
-        sib_h.append(lsh)
-        sib_l.append(lsl)
-        if rescue:
             # right extension: ((v << 2) | b) masked
-            ext_h.append(((hi << 2) | (lo >> 30)) & hi_mask)
-            ext_l.append(((lo << 2) | bb) & lo_mask)
+            probes_h.append(((hi << 2) | (lo >> 30)) & hi_mask)
+            probes_l.append(((lo << 2) | bb) & lo_mask)
             # left extension: (v >> 2) | (b << 2(k-1))
             lh = hi >> 2
             ll = (lo >> 2) | (hi << 30)
@@ -141,77 +121,76 @@ def _correct_fused(
                 lh = lh | (bb << (hs - 32))
             else:
                 ll = (ll & jnp.uint32((1 << hs) - 1)) | (bb << hs)
-            ext_h.append(lh)
-            ext_l.append(ll)
+            probes_h.append(lh)
+            probes_l.append(ll)
+    ph = jnp.stack(probes_h, axis=0)
+    pl = jnp.stack(probes_l, axis=0)
+    if canonical:
+        ph, pl = canonical_hilo(ph, pl, k)
+    i_, h_ = lookup_hilo(hi, lo, ph.reshape(-1), pl.reshape(-1))
+    return jnp.clip(i_.reshape(8, C), 0, C - 1), h_.reshape(8, C)
 
-    def _resolve(phs, pls):
-        # one join per 8-probe set — NOT one 16-probe join: the join
-        # sort's transient HBM scales with (table + query) lanes, and a
-        # single 16C-query join at the raw 1M-read table (~200M lanes)
-        # crashed the TPU worker; two sequential 8C joins keep the peak
-        # at the r4-proven size
-        ph = jnp.stack(phs, axis=0)
-        pl = jnp.stack(pls, axis=0)
-        if canonical:
-            ph, pl = canonical_hilo(ph, pl, k)
-        i_, h_ = lookup_hilo(hi, lo, ph.reshape(-1), pl.reshape(-1))
-        return (
-            jnp.clip(i_.reshape(8, C), 0, C - 1),
-            h_.reshape(8, C),
-        )
 
-    sidx, shit = _resolve(sib_h, sib_l)  # [8, C]: (rsib, lsib) x 4
-    if rescue:
-        # hard scheduling dependency: the two joins are data-independent
-        # and XLA overlaps them, which doubles the transient-HBM peak
-        # right back to the crashing 16-probe level — barrier the
-        # extension probes on the sibling join's output so the joins
-        # run strictly one after the other
-        (ext_h, ext_l), _ = jax.lax.optimization_barrier(
-            ((ext_h, ext_l), shit)
-        )
-        eidx, ehit = _resolve(ext_h, ext_l)  # [8, C]: (rext, lext) x 4
-
-    pad = (hi == SENTINEL) & (lo == SENTINEL)
+@partial(jax.jit, static_argnames=("min_abundance",))
+def _cut_counts(spec: Spectrum, min_abundance: int):
+    """(raw counts with pads zeroed, post-abundance-cut counts)."""
+    pad = (spec.hi == SENTINEL) & (spec.lo == SENTINEL)
     raw = jnp.where(pad, 0, spec.count)
-    counts0 = jnp.where(raw < min_abundance, 0, raw)
+    return raw, jnp.where(raw < min_abundance, 0, raw)
 
-    if rescue:
-        # dead-end rescue rounds (oracle spec:
-        # oracle.correction.dead_end_rescue): a dropped k-mer revives
-        # iff it extends an alive k-mer that is otherwise dead on that
-        # side — some left-extension alive AND all right-siblings dead
-        # (x's right-sibling group IS that parent's right-extension
-        # set), or the mirror.  Jacobi rounds, capped at 3k.
-        def rcond(st):
-            r, _counts, changed = st
-            return changed & (r < 3 * k)
 
-        def rbody(st):
-            r, counts, _ = st
-            pa_s = shit & (counts[sidx] > 0)  # [8, C] alive gathers
-            pa_e = ehit & (counts[eidx] > 0)
-            rsib_dead = ~jnp.any(pa_s[0::2], axis=0)
-            lsib_dead = ~jnp.any(pa_s[1::2], axis=0)
-            rext_any = jnp.any(pa_e[0::2], axis=0)
-            lext_any = jnp.any(pa_e[1::2], axis=0)
-            resc = (
-                (raw > 0)
-                & (counts == 0)
-                & ((lext_any & rsib_dead) | (rext_any & lsib_dead))
-            )
-            return r + 1, jnp.where(resc, raw, counts), resc.any()
+@partial(jax.jit, static_argnames=("rounds",))
+def _rescue_chunk(counts, raw, sidx, shit, eidx, ehit, rounds: int):
+    """Up to `rounds` dead-end-rescue rounds (oracle spec:
+    oracle.correction.dead_end_rescue) as ONE program execution: a
+    dropped k-mer revives iff it extends an alive k-mer that is
+    otherwise dead on that side — some left-extension alive AND all
+    right-siblings dead (x's right-sibling group IS that parent's
+    right-extension set), or the mirror.  Jacobi rounds.  Returns
+    (counts, last round's changed flag) — the HOST loops over chunks:
+    a single long-running while_loop execution (~30 data-dependent
+    rounds of 100M-element gathers) reproducibly crashes the TPU
+    worker (kernel watchdog class; the r2 fixpoint-while_loop crash was
+    the same pattern), while <= 4-round executions match the proven r4
+    envelope."""
 
-        _, counts0, _ = jax.lax.while_loop(
-            rcond, rbody, (jnp.int32(0), counts0, jnp.bool_(True))
+    def cond(st):
+        r, _c, changed = st
+        return changed & (r < rounds)
+
+    def body(st):
+        r, counts, _ = st
+        pa_s = shit & (counts[sidx] > 0)  # [8, C] alive gathers
+        pa_e = ehit & (counts[eidx] > 0)
+        rsib_dead = ~jnp.any(pa_s[0::2], axis=0)
+        lsib_dead = ~jnp.any(pa_s[1::2], axis=0)
+        rext_any = jnp.any(pa_e[0::2], axis=0)
+        lext_any = jnp.any(pa_e[1::2], axis=0)
+        resc = (
+            (raw > 0)
+            & (counts == 0)
+            & ((lext_any & rsib_dead) | (rext_any & lsib_dead))
         )
+        return r + 1, jnp.where(resc, raw, counts), resc.any()
 
+    _, counts, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), counts, jnp.bool_(True))
+    )
+    return counts, changed
+
+
+@partial(jax.jit, static_argnames=("rounds", "use_cap"))
+def _prune_chunk(
+    counts, sidx, shit, sibling_ratio, eps3, rounds: int, use_cap: bool
+):
+    """Up to `rounds` jacobi sibling-prune rounds as one program
+    execution (chunked for the same worker-watchdog reason as
+    _rescue_chunk); decision semantics identical to the oracle —
+    float32 ratio test AND (when use_cap) the absolute error cap
+    (oracle.correction.error_cap, identical float32 arithmetic)."""
     ratio = sibling_ratio.astype(jnp.float32)
-    eps3 = jnp.float32(error_rate) / jnp.float32(3.0)
-    use_cap = error_rate > 0  # static
 
     def _cap(F):
-        # oracle.correction.error_cap, identical float32 arithmetic
         lam = eps3 * F
         return jnp.maximum(
             jnp.float32(3.0),
@@ -219,8 +198,8 @@ def _correct_fused(
         )
 
     def cond(st):
-        r, _counts, changed = st
-        return changed & (r < max_rounds)
+        r, _c, changed = st
+        return changed & (r < rounds)
 
     def body(st):
         r, counts, _ = st
@@ -231,17 +210,19 @@ def _correct_fused(
         dr = cf < ratio * rmax
         dl = cf < ratio * lmax
         if use_cap:
-            # absolute error-model cap: ratio domination alone must not
-            # delete minor isoform branches (error_cap rationale)
             dr = dr & (cf <= _cap(rmax))
             dl = dl & (cf <= _cap(lmax))
         doomed = (counts > 0) & (dr | dl)
         return r + 1, jnp.where(doomed, 0, counts), doomed.any()
 
-    _, counts, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), counts0, jnp.bool_(True))
+    _, counts, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), counts, jnp.bool_(True))
     )
-    return _compact(spec, counts > 0)
+    return counts, changed
+
+
+CHUNK_ROUNDS = 4
+"""Correction rounds per device program execution (see _rescue_chunk)."""
 
 
 def correct_spectrum(
@@ -255,16 +236,41 @@ def correct_spectrum(
 ) -> Spectrum:
     """Full correction: abundance filter (+ dead-end rescue when the
     filter is engaged) then pruning rounds to fixpoint, with the
-    absolute error-model cap on domination prunes (one fused device
-    program — see _correct_fused)."""
+    absolute error-model cap on domination prunes.
+
+    Host-chunked driver: probe sets resolve ONCE (one join per program
+    — transient-HBM discipline), then rescue/prune run as <=
+    CHUNK_ROUNDS-round program executions with a one-scalar continue
+    flag fetched between chunks.  Decision semantics are identical to
+    the oracle (jacobi float32 tests, error cap, 3k rescue bound) —
+    pinned by the parity suite; the chunking only moves program
+    boundaries."""
     if sibling_ratio <= 0.0:
         return abundance_filter(spec, min_abundance)
-    return _correct_fused(
-        spec,
-        k,
-        min_abundance,
-        jnp.float32(sibling_ratio),
-        correction_rounds,
-        canonical,
-        error_rate,
-    )
+    rescue = min_abundance > 1
+    sidx, shit = _probe_resolve(spec, k, canonical, "sib")
+    raw, counts = _cut_counts(spec, min_abundance)
+    if rescue:
+        eidx, ehit = _probe_resolve(spec, k, canonical, "ext")
+        rem = 3 * k
+        while rem > 0:
+            r = min(CHUNK_ROUNDS, rem)
+            counts, changed = _rescue_chunk(
+                counts, raw, sidx, shit, eidx, ehit, r
+            )
+            rem -= r
+            if not bool(changed):
+                break
+        eidx = ehit = None  # free the extension probe tables
+    eps3 = jnp.float32(error_rate) / jnp.float32(3.0)
+    ratio = jnp.float32(sibling_ratio)
+    rem = correction_rounds
+    while rem > 0:
+        r = min(CHUNK_ROUNDS, rem)
+        counts, changed = _prune_chunk(
+            counts, sidx, shit, ratio, eps3, r, error_rate > 0
+        )
+        rem -= r
+        if not bool(changed):
+            break
+    return _compact(spec, counts > 0)

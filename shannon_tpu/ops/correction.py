@@ -160,8 +160,9 @@ def _rescue_chunk(counts, raw, sidx, shit, eidx, ehit, rounds: int):
 
     def body(st):
         r, counts, _ = st
-        pa_s = shit & (counts[sidx] > 0)  # [8, C] alive gathers
-        pa_e = ehit & (counts[eidx] > 0)
+        alive8 = (counts > 0).astype(jnp.uint8)  # narrow the gathers
+        pa_s = shit & (alive8[sidx] > 0)  # [8, C] aliveness gathers
+        pa_e = ehit & (alive8[eidx] > 0)
         rsib_dead = ~jnp.any(pa_s[0::2], axis=0)
         lsib_dead = ~jnp.any(pa_s[1::2], axis=0)
         rext_any = jnp.any(pa_e[0::2], axis=0)
@@ -252,7 +253,7 @@ def correct_spectrum(
     raw, counts = _cut_counts(spec, min_abundance)
     if rescue:
         eidx, ehit = _probe_resolve(spec, k, canonical, "ext")
-        rem = 3 * k
+        rem = k + 2  # oracle dead_end_rescue round cap
         while rem > 0:
             r = min(CHUNK_ROUNDS, rem)
             counts, changed = _rescue_chunk(

@@ -190,7 +190,16 @@ def dead_end_rescue(
       or the left/right mirror.
 
     Rounds are jacobi (decided against the round's starting alive set)
-    and capped at 3k; rescued k-mers keep their true counts.
+    and capped at k + 2 — the regrowth depth that matters: transcript
+    END fringes are a few k-mers deep (boundary coverage ~cov/L per
+    position) and a single error's interior dip spans <= k k-mers,
+    while a stretch still sub-threshold after k+2 rounds of regrowth
+    belongs to expression ~the cut's ladder floor below the median,
+    where recovery is marginal at any threshold.  (The cap is also the
+    cost: each round is two [8, C] gathers at the RAW table; the
+    original 3k cap measured 144s of the 1M-read e2e regrowing
+    doomed deep-sub-threshold interiors.)  Rescued k-mers keep their
+    true counts.
 
     Why: transcript END k-mers are covered only by reads starting at
     the boundary, so their counts stay ~Poisson(coverage/read_length)
@@ -213,7 +222,7 @@ def dead_end_rescue(
         key = v if ss else canon_kmer(v, k)
         return key in alive
 
-    for _ in range(3 * k):
+    for _ in range(k + 2):
         newly: list[int] = []
         for v, c in dropped.items():
             lext_any = any(

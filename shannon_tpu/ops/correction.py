@@ -222,8 +222,12 @@ def _prune_chunk(
     return counts, changed
 
 
-CHUNK_ROUNDS = 4
-"""Correction rounds per device program execution (see _rescue_chunk)."""
+CHUNK_ROUNDS = 12
+"""Correction rounds per device program execution (see _rescue_chunk).
+Sizing: a 12-round execution is ~5s at the 1M-read table — an order of
+magnitude under the ~60s executions that crashed the worker — while
+per-execution tunnel overhead (~1-2s each through the axon runtime)
+argues for as few executions as safely possible."""
 
 
 def correct_spectrum(

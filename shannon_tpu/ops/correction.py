@@ -222,12 +222,17 @@ def _prune_chunk(
     return counts, changed
 
 
-CHUNK_ROUNDS = 12
-"""Correction rounds per device program execution (see _rescue_chunk).
-Sizing: a 12-round execution is ~5s at the 1M-read table — an order of
-magnitude under the ~60s executions that crashed the worker — while
-per-execution tunnel overhead (~1-2s each through the axon runtime)
-argues for as few executions as safely possible."""
+def chunk_rounds(capacity: int) -> int:
+    """Correction rounds per device program execution, sized to the
+    table: a round costs ~33 ns/lane of aliveness gathers (measured
+    0.42s at 12.6M lanes), and executions must stay well under the
+    axon worker's long-execution crash envelope (a ~60s while_loop
+    execution reproducibly kills it — both the 1M fused form and a
+    12-round chunk at the 4M-read 50M-lane table did) while
+    per-execution tunnel overhead argues for as few executions as
+    safely possible.  Target ~8s per execution, clamped to [1, 12]."""
+    per_round_s = 33e-9 * capacity
+    return max(1, min(12, int(8.0 / max(per_round_s, 1e-9))))
 
 
 def correct_spectrum(
@@ -253,13 +258,14 @@ def correct_spectrum(
     if sibling_ratio <= 0.0:
         return abundance_filter(spec, min_abundance)
     rescue = min_abundance > 1
+    chunk = chunk_rounds(spec.capacity)
     sidx, shit = _probe_resolve(spec, k, canonical, "sib")
     raw, counts = _cut_counts(spec, min_abundance)
     if rescue:
         eidx, ehit = _probe_resolve(spec, k, canonical, "ext")
         rem = k + 2  # oracle dead_end_rescue round cap
         while rem > 0:
-            r = min(CHUNK_ROUNDS, rem)
+            r = min(chunk, rem)
             counts, changed = _rescue_chunk(
                 counts, raw, sidx, shit, eidx, ehit, r
             )
@@ -271,7 +277,7 @@ def correct_spectrum(
     ratio = jnp.float32(sibling_ratio)
     rem = correction_rounds
     while rem > 0:
-        r = min(CHUNK_ROUNDS, rem)
+        r = min(chunk, rem)
         counts, changed = _prune_chunk(
             counts, sidx, shit, ratio, eps3, r, error_rate > 0
         )

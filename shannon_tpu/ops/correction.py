@@ -231,8 +231,10 @@ def chunk_rounds(capacity: int) -> int:
     12-round chunk at the 4M-read 50M-lane table did) while
     per-execution tunnel overhead argues for as few executions as
     safely possible.  Target ~8s per execution, clamped to [1, 12]."""
-    per_round_s = 33e-9 * capacity
-    return max(1, min(12, int(8.0 / max(per_round_s, 1e-9))))
+    per_round_s = 50e-9 * capacity  # pessimistic: gathers grow
+    # superlinear once the table outruns on-chip caching (a 7-round
+    # chunk at 33.5M lanes crashed where the model predicted ~8s)
+    return max(1, min(12, int(4.0 / max(per_round_s, 1e-9))))
 
 
 def correct_spectrum(
